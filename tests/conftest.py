@@ -1,0 +1,33 @@
+import os
+
+# Tests run on a virtual 8-device CPU mesh so sharding logic is exercised
+# without TPU hardware (the driver separately dry-runs the multichip path).
+#
+# The axon TPU PJRT plugin pre-imports jax and registers its backend factory
+# in sitecustomize at interpreter startup (ignoring JAX_PLATFORMS=cpu), but it
+# does NOT initialize the backend until first use — so deregistering the
+# factory here, before any jax computation, forces a clean CPU-only JAX.
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+from jax._src import xla_bridge as _xb
+
+if not _xb._backends:  # not yet initialized: safe to drop accelerator factories
+    for _name in ("axon", "tpu"):
+        _xb._backend_factories.pop(_name, None)
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+assert jax.default_backend() == "cpu", "tests must run on the virtual CPU mesh"
+assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)

@@ -1,0 +1,91 @@
+"""Synthetic Gaussian scenes + cameras for testing (no real datasets in CI)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from websplat_tpu.io.loader import GaussianCloud
+from websplat_tpu.models.camera import PerspectiveCamera, PerspectiveProjection
+from websplat_tpu.utils.gmath import build_cov, mat_to_quat, sigmoid
+
+
+def random_quats(rng, n):
+    q = rng.normal(size=(n, 4)).astype(np.float32)
+    return q / np.linalg.norm(q, axis=1, keepdims=True)
+
+
+def make_cloud(
+    rng,
+    n=500,
+    sh_deg=3,
+    extent=1.0,
+    scale_range=(-4.5, -2.5),
+    opacity_logit_range=(-1.0, 3.0),
+    kernel_size=None,
+    mip_splatting=None,
+    background_color=None,
+) -> GaussianCloud:
+    """Random cloud in a ball of `extent`, log-scales chosen so splats stay
+    small on screen (a few pixels), like a trained 3DGS scene's bulk."""
+    xyz = rng.normal(size=(n, 3)).astype(np.float32) * extent * 0.4
+    scale = np.exp(rng.uniform(*scale_range, size=(n, 3)).astype(np.float32)) * extent
+    rot = random_quats(rng, n)
+    cov = build_cov(rot, scale)
+    opacity = sigmoid(rng.uniform(*opacity_logit_range, size=(n,)).astype(np.float32))
+    sh = np.zeros((n, 16, 3), np.float32)
+    sh[:, 0, :] = rng.uniform(-0.5, 2.0, size=(n, 3))
+    if sh_deg > 0:
+        ncoef = (sh_deg + 1) ** 2
+        sh[:, 1:ncoef, :] = rng.normal(size=(n, ncoef - 1, 3)) * 0.1
+    return GaussianCloud(
+        xyz=xyz,
+        opacity=opacity.astype(np.float16),
+        cov=cov.astype(np.float16),
+        sh=sh.astype(np.float16),
+        sh_deg=sh_deg,
+        num_points=n,
+        kernel_size=kernel_size,
+        mip_splatting=mip_splatting,
+        background_color=background_color,
+    )
+
+
+def make_camera(
+    distance=2.5,
+    target=(0.0, 0.0, 0.0),
+    azimuth=0.3,
+    elevation=0.2,
+    fov=0.9,
+    viewport=(128, 96),
+    znear=0.01,
+    zfar=100.0,
+) -> PerspectiveCamera:
+    """Orbit camera looking at `target` (camera-from-world rotation built from
+    an orthonormal look-at basis)."""
+    target = np.asarray(target, np.float32)
+    pos = target + distance * np.array(
+        [
+            np.cos(elevation) * np.sin(azimuth),
+            np.sin(elevation),
+            -np.cos(elevation) * np.cos(azimuth),
+        ],
+        dtype=np.float32,
+    )
+    fwd = target - pos
+    fwd = fwd / np.linalg.norm(fwd)
+    world_up = np.array([0.0, 1.0, 0.0], np.float32)
+    right = np.cross(fwd, world_up)
+    right /= np.linalg.norm(right)
+    up = np.cross(right, fwd)
+    # camera-from-world rows: x=right, y=up, z=forward (3DGS convention:
+    # +z looks into the scene)
+    r = np.stack([right, up, fwd], axis=0)
+    q = mat_to_quat(r)
+    w, h = viewport
+    fovx = fov
+    fovy = 2.0 * np.arctan(np.tan(fov / 2.0) * h / w)
+    return PerspectiveCamera(
+        position=pos.astype(np.float32),
+        rotation=q,
+        projection=PerspectiveProjection.new((w, h), (fovx, fovy), znear, zfar),
+    )

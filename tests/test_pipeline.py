@@ -1,0 +1,140 @@
+"""End-to-end renderer tests: full tile pipeline vs the NumPy oracle.
+
+The oracle (websplat_tpu/ops/oracle.py) blends every splat per pixel in exact
+global depth order with unquantized records; the pipeline quantizes records
+to f16 and depth keys to ~22 bits (the reference does the same kind of f16
+packing, SURVEY.md §2.8), so agreement is asserted in PSNR terms.
+"""
+
+import numpy as np
+import pytest
+
+from websplat_tpu.config import RasterConfig, SplattingArgs, resolve_settings
+from websplat_tpu.models.camera import CameraUniforms
+from websplat_tpu.ops.oracle import render_oracle
+from websplat_tpu.render.renderer import GaussianRenderer
+from websplat_tpu.utils.image import psnr
+from tests.synth import make_camera, make_cloud
+
+W, H = 128, 96
+
+
+def render_both(rng, n=400, config=None, args=None, compressed=False, **cloud_kw):
+    cloud = make_cloud(rng, n=n, **cloud_kw)
+    cloud.compressed = compressed
+    cam = make_camera(viewport=(W, H))
+    args = args or SplattingArgs(background_color=(0.1, 0.2, 0.3))
+    # tile_slots=16 removes big-splat tile clamping so oracle comparisons are
+    # strict; production default (4) trades fringe coverage for sort size.
+    renderer = GaussianRenderer(
+        cloud, config or RasterConfig(raster_backend="xla", tile_slots=16)
+    )
+    img = renderer.render(cam, (W, H), args, with_diag=True)
+    settings = resolve_settings(args, cloud)
+    uni = CameraUniforms.from_camera(cam, (W, H))
+    ref = render_oracle(cloud, uni, settings, W, H, compressed=compressed)
+    return img, ref, renderer
+
+
+def test_pipeline_matches_oracle(rng):
+    img, ref, renderer = render_both(rng)
+    assert np.all(np.isfinite(img))
+    assert renderer.num_visible_points > 100
+    p = psnr(img, ref)
+    assert p > 40.0, f"pipeline vs oracle PSNR too low: {p:.2f} dB"
+
+
+def test_pipeline_background_only(rng):
+    """With walltime=0 every splat has zero scale -> pure background."""
+    cloud = make_cloud(rng, n=50)
+    cam = make_camera(viewport=(W, H))
+    renderer = GaussianRenderer(cloud, RasterConfig(raster_backend="xla"))
+    img = renderer.render(cam, (W, H), SplattingArgs(walltime=0.0, background_color=(1, 0, 0)))
+    # grow-in at walltime=0: scale_mod=0 -> cov = kernel-size dot splats still
+    # render tiny dots; check background dominates but not exact equality
+    assert img.shape == (H, W, 3)
+    assert np.isfinite(img).all()
+
+
+def test_mip_splatting_changes_image(rng):
+    img0, ref0, _ = render_both(rng, args=SplattingArgs(mip_splatting=False))
+    img1, ref1, _ = render_both(rng, args=SplattingArgs(mip_splatting=True))
+    assert psnr(img0, ref0) > 40
+    assert psnr(img1, ref1) > 40
+    assert not np.allclose(img0, img1)
+
+
+def test_compressed_eigen_clamp_path(rng):
+    img, ref, _ = render_both(rng, compressed=True)
+    assert psnr(img, ref) > 40
+
+
+def test_clipping_box(rng):
+    args = SplattingArgs(
+        clipping_box_min=(-0.2, -10, -10),
+        clipping_box_max=(10, 10, 10),
+        background_color=(0.0, 0.0, 0.0),
+    )
+    img, ref, _ = render_both(rng, args=args)
+    assert psnr(img, ref) > 40
+
+
+def test_sh_degree_masking(rng):
+    imgs = {}
+    for deg in [0, 1, 3]:
+        img, ref, _ = render_both(rng, args=SplattingArgs(max_sh_deg=deg))
+        assert psnr(img, ref) > 40, f"deg {deg}"
+        imgs[deg] = img
+    assert not np.allclose(imgs[0], imgs[3])
+
+
+def test_gaussian_scaling(rng):
+    img, ref, _ = render_both(rng, args=SplattingArgs(gaussian_scaling=0.5))
+    assert psnr(img, ref) > 40
+
+
+def test_grow_in_animation_partial(rng):
+    """Mid-animation walltime exercises smoothstep grow-in (preprocess.wgsl:196-203)."""
+    img, ref, _ = render_both(rng, args=SplattingArgs(walltime=2.5))
+    assert psnr(img, ref) > 40
+
+
+def test_num_visible_matches_oracle_count(rng):
+    cloud = make_cloud(rng, n=300)
+    cam = make_camera(viewport=(W, H))
+    renderer = GaussianRenderer(cloud, RasterConfig(raster_backend="xla"))
+    renderer.render(cam, (W, H), SplattingArgs(), with_diag=True)
+    nv = renderer.num_visible_points
+    assert 0 < nv <= 300
+
+
+def test_multiple_viewports_recompile_ok(rng):
+    cloud = make_cloud(rng, n=100)
+    cam = make_camera(viewport=(64, 64))
+    renderer = GaussianRenderer(cloud, RasterConfig(raster_backend="xla"))
+    a = renderer.render(cam, (64, 64))
+    b = renderer.render(cam, (96, 64))
+    assert a.shape == (64, 64, 3)
+    assert b.shape == (64, 96, 3)
+
+
+def test_slot_budget_tradeoff(rng):
+    """With only 4 slots, oversized splats lose fringe tiles: diagnostics
+    report them and quality degrades gracefully versus 16 slots."""
+    # big splats (up to several tiles across) to force rect clamping at 4 slots
+    cloud = make_cloud(rng, n=80, scale_range=(-2.5, -1.3))
+    cam = make_camera(viewport=(W, H))
+    args = SplattingArgs()
+    settings = resolve_settings(args, cloud)
+    uni = CameraUniforms.from_camera(cam, (W, H))
+    ref = render_oracle(cloud, uni, settings, W, H)
+
+    r64 = GaussianRenderer(cloud, RasterConfig(raster_backend="xla", tile_slots=64))
+    img64 = r64.render(cam, (W, H), args, with_diag=True)
+    r4 = GaussianRenderer(cloud, RasterConfig(raster_backend="xla", tile_slots=4))
+    img4 = r4.render(cam, (W, H), args, with_diag=True)
+
+    assert r64._last_diag["num_clamped"] == 0
+    assert psnr(img64, ref) > 40
+    assert r4._last_diag["num_clamped"] > 0
+    assert psnr(img4, ref) > 15  # degraded but sane

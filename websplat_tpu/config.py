@@ -1,0 +1,151 @@
+"""Render configuration and per-frame splatting arguments.
+
+Mirrors the reference's ``SplattingArgs`` / ``SplattingArgsUniform``
+(``/root/reference/src/renderer.rs:585-674``) plus TPU-specific rasterizer
+tuning knobs that have no reference counterpart (tile size, binning slots,
+sort backend) because the reference uses hardware rasterization.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+
+# Reference: DEFAULT_KERNEL_SIZE (/root/reference/src/renderer.rs:601)
+DEFAULT_KERNEL_SIZE: float = 0.3
+
+# Reference: fragment cutoff sqrt(log(255)) (/root/reference/src/shaders/gaussian.wgsl:2)
+CUTOFF: float = 2.3539888583335364
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterConfig:
+    """Static (compile-time) configuration of the TPU tile rasterizer.
+
+    These are baked into the jitted frame function; changing them triggers
+    recompilation.  They replace the reference's shader-specialization
+    constants (string-injected, /root/reference/src/renderer.rs:379-392).
+    """
+
+    # Screen tile edge in pixels.  32x32 = 1024 px = exactly one (8,128) VPU
+    # register tile, the native vector shape of the TPU.
+    tile_size: int = 32
+
+    # Maximum number of tile instances each splat may emit during binning
+    # (the sort size is N * tile_slots).  Splats whose screen-space extent
+    # covers more tiles are clamped to a centered sub-rectangle.  4 covers
+    # every splat with radius <= tile_size/2 px exactly.
+    tile_slots: int = 4
+
+    # Splats per inner chunk of the Pallas rasterizer (DMA granularity).
+    chunk_size: int = 256
+
+    # Early-termination threshold on transmittance.  The reference blends
+    # every fragment back-to-front with no early out
+    # (/root/reference/src/shaders/gaussian.wgsl:59-67); front-to-back with
+    # T < eps cutoff is mathematically identical up to eps.  0.0 disables.
+    transmittance_eps: float = 1e-4
+
+    # Sort backend: "xla" (lax.sort) or "pallas" (custom streaming sort).
+    sort_backend: str = "xla"
+
+    # Rasterizer backend: "pallas" or "xla" (reference/debug fallback).
+    raster_backend: str = "xla"
+
+    # Static cap on per-tile splat count used ONLY by the XLA fallback
+    # rasterizer (the Pallas kernel has no cap; it loops the true range).
+    xla_max_per_tile: int = 2048
+
+    def tiles_for(self, width: int, height: int) -> Tuple[int, int]:
+        ts = self.tile_size
+        return (-(-width // ts), -(-height // ts))
+
+    def key_bits(self, width: int, height: int) -> Tuple[int, int]:
+        """(tile_bits, depth_bits) of the packed 32-bit sort key.
+
+        Key layout: ``tile_id << depth_bits | depth_q``.  The all-ones key is
+        reserved as the invalid sentinel (mirrors the radix sort's padding
+        convention, /root/reference/src/shaders/radix_sort.wgsl:79).
+        """
+        tx, ty = self.tiles_for(width, height)
+        num_tiles = tx * ty
+        tile_bits = max(1, int(np.ceil(np.log2(num_tiles + 1))))
+        return tile_bits, 32 - tile_bits
+
+
+@dataclasses.dataclass(frozen=True)
+class SplattingArgs:
+    """Per-frame render settings (traced; changing values does NOT recompile).
+
+    Mirrors SplattingArgs (/root/reference/src/renderer.rs:585-599).  Optional
+    fields mean "defer to the point cloud's per-file default", resolved in
+    :func:`resolve_settings` exactly like ``SplattingArgsUniform::
+    from_args_and_pc`` (/root/reference/src/renderer.rs:620-652).
+    """
+
+    gaussian_scaling: float = 1.0
+    max_sh_deg: int = 3
+    mip_splatting: Optional[bool] = None
+    kernel_size: Optional[float] = None
+    clipping_box_min: Optional[Tuple[float, float, float]] = None
+    clipping_box_max: Optional[Tuple[float, float, float]] = None
+    # Reference viewer accumulates walltime for the grow-in animation
+    # (/root/reference/src/lib.rs:353-355); the offline renderer uses 100 s =
+    # fully grown (/root/reference/src/bin/render.rs:100).
+    walltime: float = 100.0
+    scene_center: Optional[Tuple[float, float, float]] = None
+    scene_extend: Optional[float] = None
+    background_color: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class ResolvedSettings:
+    """SplattingArgs with per-cloud defaults substituted (device-ready)."""
+
+    gaussian_scaling: float
+    max_sh_deg: int
+    mip_splatting: bool
+    kernel_size: float
+    clipping_box_min: Tuple[float, float, float]
+    clipping_box_max: Tuple[float, float, float]
+    walltime: float
+    scene_center: Tuple[float, float, float]
+    scene_extend: float
+    background_color: Tuple[float, float, float]
+
+
+def resolve_settings(args: SplattingArgs, pc) -> ResolvedSettings:
+    """Resolve Optional args against point-cloud metadata.
+
+    Mirrors SplattingArgsUniform::from_args_and_pc
+    (/root/reference/src/renderer.rs:620-652): mip/kernel fall back to file
+    metadata then global defaults, clipping box falls back to the cloud bbox,
+    scene_extend = max(requested, bbox.radius()).
+    """
+    bbox_min, bbox_max = pc.aabb
+    radius = float(np.linalg.norm((np.asarray(bbox_max) - np.asarray(bbox_min)) / 2.0))
+    mip = args.mip_splatting
+    if mip is None:
+        mip = bool(pc.mip_splatting) if pc.mip_splatting is not None else False
+    kernel = args.kernel_size
+    if kernel is None:
+        kernel = pc.kernel_size if pc.kernel_size is not None else DEFAULT_KERNEL_SIZE
+    extend = args.scene_extend if args.scene_extend is not None else radius
+    extend = max(extend, radius)
+    center = args.scene_center if args.scene_center is not None else tuple(pc.center)
+    cb_min = args.clipping_box_min if args.clipping_box_min is not None else tuple(bbox_min)
+    cb_max = args.clipping_box_max if args.clipping_box_max is not None else tuple(bbox_max)
+    return ResolvedSettings(
+        gaussian_scaling=float(args.gaussian_scaling),
+        max_sh_deg=int(args.max_sh_deg),
+        mip_splatting=bool(mip),
+        kernel_size=float(kernel),
+        clipping_box_min=tuple(float(x) for x in cb_min),
+        clipping_box_max=tuple(float(x) for x in cb_max),
+        walltime=float(args.walltime),
+        scene_center=tuple(float(x) for x in center),
+        scene_extend=float(extend),
+        background_color=tuple(float(x) for x in args.background_color),
+    )

@@ -1,0 +1,306 @@
+"""Preprocess: 3D Gaussians -> packed 2D screen-splat tile instances.
+
+The TPU-native replacement for preprocess.wgsl / preprocess_compressed.wgsl
+(/root/reference/src/shaders/preprocess.wgsl:163-280): one fused, vectorized
+XLA elementwise pass over all N Gaussians that performs
+
+  clipping-box cull (wgsl :177-179), view/proj transform (:181-184),
+  frustum-cull with 1.2*w bounds (:189-192), walltime grow-in animation
+  (:196-203), EWA projection of the 3D covariance to a 2D screen conic
+  (:204-223), optional Mip-Splatting opacity correction (:226-236),
+  kernel-size dilation (:238-240), closed-form 2x2 eigen-decomposition with
+  the plain/compressed clamp divergence (:242-251 vs
+  preprocess_compressed.wgsl:293-302), SH color evaluation (:114-154)
+
+and then, instead of the reference's atomic stream-compaction + GPU radix
+sort (:262-279), emits a *static-shaped* instance table: ``tile_slots``
+(tile_id | depth)-keyed slots per splat with invalid slots keyed 0xFFFFFFFF,
+to be compacted and depth-ordered by one stable sort (TPUs have no global
+atomics; sorting invalid keys to the end mirrors the reference radix sort's
+own padding convention, radix_sort.wgsl:79).
+
+Covariance math note: the reference computes the 2D covariance in the
+y-flipped NDC frame and rasterizes quads; we need it in pixel frame
+(x right, y down).  ndc->pixel flips y, so only the off-diagonal changes
+sign: cov_pix = diag(1,-1) @ cov_ndc @ diag(1,-1).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from websplat_tpu.config import CUTOFF, RasterConfig
+from websplat_tpu.ops import packing
+from websplat_tpu.ops.sh import eval_sh
+
+
+class DeviceCloud(NamedTuple):
+    """Device-resident Gaussian cloud (the reference's GPU-side PointCloud,
+    /root/reference/src/pointcloud.rs:99-170)."""
+
+    xyz: jnp.ndarray  # (N, 3) f32
+    cov: jnp.ndarray  # (N, 6) f32 (decoded from f16 wire format)
+    opacity: jnp.ndarray  # (N,) f32
+    sh: jnp.ndarray  # (N, 16, 3) f16
+
+
+class CameraParams(NamedTuple):
+    """Device camera block (renderer.rs:290-343); proj includes the y-flip."""
+
+    view: jnp.ndarray  # (4, 4)
+    view_inv: jnp.ndarray  # (4, 4)
+    proj: jnp.ndarray  # (4, 4)
+    viewport: jnp.ndarray  # (2,) (w, h) float
+    focal: jnp.ndarray  # (2,)
+
+
+class DeviceSettings(NamedTuple):
+    """Traced per-frame settings (renderer.rs:602-618 uniform block)."""
+
+    clipping_box_min: jnp.ndarray  # (3,)
+    clipping_box_max: jnp.ndarray  # (3,)
+    gaussian_scaling: jnp.ndarray  # scalar
+    max_sh_deg: jnp.ndarray  # scalar int
+    mip_splatting: jnp.ndarray  # scalar bool
+    kernel_size: jnp.ndarray  # scalar
+    walltime: jnp.ndarray  # scalar
+    scene_extend: jnp.ndarray  # scalar
+    scene_center: jnp.ndarray  # (3,)
+
+
+class PreprocessOut(NamedTuple):
+    keys: jnp.ndarray  # (M_pad,) uint32 sort keys (tile << depth_bits | depth)
+    payload: Tuple[jnp.ndarray, ...]  # 5 x (M_pad,) uint32 packed records
+    num_visible: jnp.ndarray  # scalar int32 — reference's num_visible_points
+    # (renderer.rs:170-189)
+    num_clamped: jnp.ndarray  # scalar int32 — splats whose tile rect exceeded
+    # the slot budget (coverage loss diagnostic; no reference counterpart)
+
+
+def _smoothstep01(x):
+    t = jnp.clip(x, 0.0, 1.0)
+    return t * t * (3.0 - 2.0 * t)
+
+
+def preprocess(
+    cloud: DeviceCloud,
+    camera: CameraParams,
+    settings: DeviceSettings,
+    *,
+    width: int,
+    height: int,
+    config: RasterConfig,
+    compressed: bool = False,
+) -> PreprocessOut:
+    n = cloud.xyz.shape[0]
+    ts = config.tile_size
+    tx_tiles, ty_tiles = config.tiles_for(width, height)
+    tile_bits, depth_bits = config.key_bits(width, height)
+    cq = packing.CenterQuant.for_viewport(width, height)
+
+    xyz = cloud.xyz
+    view = camera.view
+    proj = camera.proj
+
+    # --- clipping box cull (preprocess.wgsl:177-179) ---
+    inside = jnp.all(xyz >= settings.clipping_box_min, axis=1) & jnp.all(
+        xyz <= settings.clipping_box_max, axis=1
+    )
+
+    # --- transforms (preprocess.wgsl:181-184) ---
+    # Written as explicit per-component arithmetic, NOT matmuls: K=3 dots gain
+    # nothing from the MXU, and TPU f32 matmuls default to bf16 MXU passes
+    # whose ~5e-3 relative error shifts splat centers by ~0.5 px (measured).
+    # Elementwise keeps full f32 on the VPU.
+    def affine3(m, v0, v1, v2):
+        return tuple(m[i, 0] * v0 + m[i, 1] * v1 + m[i, 2] * v2 + m[i, 3] for i in range(3))
+
+    x_w, y_w, z_w = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    cam_x, cam_y, cam_z = affine3(view, x_w, y_w, z_w)
+    clip_x, clip_y, clip_z = affine3(proj, cam_x, cam_y, cam_z)
+    clip_w = proj[3, 0] * cam_x + proj[3, 1] * cam_y + proj[3, 2] * cam_z + proj[3, 3]
+    bounds = 1.2 * clip_w
+    z_ndc = clip_z / clip_w
+
+    # --- frustum cull (preprocess.wgsl:189-192; compressed uses strict <,>
+    #     at preprocess_compressed.wgsl:231 — identical for floats except
+    #     exact 0/1, which we fold into the same test) ---
+    visible = (
+        (z_ndc > 0.0)
+        & (z_ndc < 1.0)
+        & (clip_x >= -bounds)
+        & (clip_x <= bounds)
+        & (clip_y >= -bounds)
+        & (clip_y <= bounds)
+        & inside
+    )
+
+    # --- walltime grow-in animation (preprocess.wgsl:196-203) ---
+    dd = 5.0 * jnp.linalg.norm(xyz - settings.scene_center, axis=1) / settings.scene_extend
+    scale_mod = jnp.where(settings.walltime > dd, _smoothstep01(settings.walltime - dd), 0.0)
+    scaling = settings.gaussian_scaling * scale_mod
+
+    # --- EWA projection (preprocess.wgsl:204-223), explicit components ---
+    c = cloud.cov * (scaling * scaling)[:, None]
+    s0, s1, s2, s3, s4, s5 = (c[:, i] for i in range(6))
+    fx = camera.focal[0]
+    fy = camera.focal[1]
+    inv_z = 1.0 / cam_z
+    zeros = jnp.zeros_like(cam_z)
+    # 2x3 EWA Jacobian rows (transposed column layout of preprocess.wgsl:209-219)
+    j00, j02 = fx * inv_z, -fx * cam_x * inv_z * inv_z
+    j11, j12 = -fy * inv_z, fy * cam_y * inv_z * inv_z
+    # t = J2 @ V3 rows a, b  (t[r,c] = sum_k j2[r,k] * view[k,c])
+    v = view
+    a0 = j00 * v[0, 0] + j02 * v[2, 0]
+    a1 = j00 * v[0, 1] + j02 * v[2, 1]
+    a2 = j00 * v[0, 2] + j02 * v[2, 2]
+    b0 = j11 * v[1, 0] + j12 * v[2, 0]
+    b1 = j11 * v[1, 1] + j12 * v[2, 1]
+    b2 = j11 * v[1, 2] + j12 * v[2, 2]
+    # cov2d = t @ Vrk @ t^T with Vrk symmetric from upper-6 [xx,xy,xz,yy,yz,zz]
+    sa0 = s0 * a0 + s1 * a1 + s2 * a2
+    sa1 = s1 * a0 + s3 * a1 + s4 * a2
+    sa2 = s2 * a0 + s4 * a1 + s5 * a2
+    sb0 = s0 * b0 + s1 * b1 + s2 * b2
+    sb1 = s1 * b0 + s3 * b1 + s4 * b2
+    sb2 = s2 * b0 + s4 * b1 + s5 * b2
+    cxx = a0 * sa0 + a1 * sa1 + a2 * sa2
+    cxy = b0 * sa0 + b1 * sa1 + b2 * sa2
+    cyy = b0 * sb0 + b1 * sb1 + b2 * sb2
+
+    # --- mip splatting opacity correction (preprocess.wgsl:226-236) ---
+    opacity = cloud.opacity
+    kernel = settings.kernel_size
+    det0 = jnp.maximum(1e-6, cxx * cyy - cxy * cxy)
+    det1 = jnp.maximum(1e-6, (cxx + kernel) * (cyy + kernel) - cxy * cxy)
+    coef = jnp.sqrt(det0 / (det1 + 1e-6) + 1e-6)
+    coef = jnp.where((det0 <= 1e-6) | (det1 <= 1e-6), 0.0, coef)
+    opacity = jnp.where(settings.mip_splatting, opacity * coef, opacity)
+
+    # --- dilation + eigen decomposition (preprocess.wgsl:238-251) ---
+    # pixel frame: flip off-diagonal sign (see module docstring)
+    diag1 = cxx + kernel
+    diag2 = cyy + kernel
+    off = -cxy
+    mid = 0.5 * (diag1 + diag2)
+    radius = jnp.sqrt(jnp.square((diag1 - diag2) / 2.0) + jnp.square(off))
+    if compressed:
+        # preprocess_compressed.wgsl:296-297
+        r_c = jnp.maximum(radius, 0.1)
+        lambda1 = mid + r_c
+        lambda2 = mid - r_c
+    else:
+        # preprocess.wgsl:245-246
+        lambda1 = mid + radius
+        lambda2 = jnp.maximum(mid - radius, 0.1)
+    # Degenerate lambda2 <= 0 produces NaN quads in the reference (invisible);
+    # here the splat is culled explicitly.
+    visible = visible & (lambda2 > 0.0)
+
+    ev = jnp.stack([off, lambda1 - diag1], -1)
+    ev_norm = jnp.linalg.norm(ev, axis=-1)
+    e1 = jnp.where(
+        (ev_norm > 1e-20)[:, None],
+        ev / jnp.maximum(ev_norm, 1e-30)[:, None],
+        jnp.stack([jnp.ones_like(off), zeros], -1),
+    )
+    e1x, e1y = e1[:, 0], e1[:, 1]
+
+    # conic = inv(Sigma') where Sigma' = l1 e1 e1^T + l2 e2 e2^T, e2 = perp(e1)
+    inv_l1 = 1.0 / lambda1
+    inv_l2 = 1.0 / lambda2
+    conic_a = e1x * e1x * inv_l1 + e1y * e1y * inv_l2
+    conic_b = e1x * e1y * (inv_l1 - inv_l2)
+    conic_c = e1y * e1y * inv_l1 + e1x * e1x * inv_l2
+
+    # ellipse AABB semi-extents of {d : 0.5 d^T conic d <= 2*CUTOFF}
+    sig_xx = lambda1 * e1x * e1x + lambda2 * e1y * e1y
+    sig_yy = lambda1 * e1y * e1y + lambda2 * e1x * e1x
+    ext_x = jnp.sqrt(4.0 * CUTOFF * jnp.maximum(sig_xx, 0.0))
+    ext_y = jnp.sqrt(4.0 * CUTOFF * jnp.maximum(sig_yy, 0.0))
+
+    # --- screen position (WGPU viewport transform of the flipped NDC) ---
+    ndc_x = clip_x / clip_w
+    ndc_y = clip_y / clip_w
+    px = (ndc_x + 1.0) * 0.5 * width
+    py = (1.0 - ndc_y) * 0.5 * height
+
+    # --- SH color (preprocess.wgsl:255-260) ---
+    cam_pos = camera.view_inv[:3, 3]
+    dvec = xyz - cam_pos
+    dirs = dvec / jnp.maximum(jnp.linalg.norm(dvec, axis=1, keepdims=True), 1e-12)
+    rgb = jnp.maximum(0.0, eval_sh(cloud.sh, dirs, settings.max_sh_deg))
+
+    # --- depth key: f32 bit trick.  clip z >= 0 for visible splats, and the
+    # bit patterns of non-negative floats are order-isomorphic to their
+    # values, so the top depth_bits of the bits sort front-to-back.  (The
+    # reference sorts bitcast(zfar - z) ascending = back-to-front and blends
+    # in reverse; front-to-back transmittance blending is equivalent,
+    # preprocess.wgsl:270-273.) ---
+    z_clip_bits = lax.bitcast_convert_type(jnp.maximum(clip_z, 0.0), jnp.uint32)
+    depth_q = z_clip_bits >> np.uint32(32 - depth_bits)
+
+    # --- tile rect ---
+    slots = config.tile_slots
+    rx0 = jnp.floor((px - ext_x) / ts)
+    rx1 = jnp.floor((px + ext_x) / ts)
+    ry0 = jnp.floor((py - ext_y) / ts)
+    ry1 = jnp.floor((py + ext_y) / ts)
+    on_screen = (rx1 >= 0) & (rx0 < tx_tiles) & (ry1 >= 0) & (ry0 < ty_tiles)
+    visible = visible & on_screen
+    tx0 = jnp.clip(rx0, 0, tx_tiles - 1).astype(jnp.int32)
+    tx1 = jnp.clip(rx1, 0, tx_tiles - 1).astype(jnp.int32)
+    ty0 = jnp.clip(ry0, 0, ty_tiles - 1).astype(jnp.int32)
+    ty1 = jnp.clip(ry1, 0, ty_tiles - 1).astype(jnp.int32)
+
+    w_t = jnp.maximum(tx1 - tx0 + 1, 1)
+    h_t = jnp.maximum(ty1 - ty0 + 1, 1)
+    n_rect = w_t * h_t
+
+    # --- packed record (shared by all slots of a splat) ---
+    w0, w1, w2, w3, w4 = packing.pack_record(
+        px, py, 0.5 * conic_a, conic_b, 0.5 * conic_c, opacity, rgb, cq
+    )
+
+    # --- emit slots: row-major enumeration of the true rect through the
+    # static slot budget.  4 slots cover any 1x4 / 4x1 / 2x2 rect exactly;
+    # rects with more than `slots` tiles lose their tail tiles (reported via
+    # diagnostics; the Pallas compaction path raises the budget cheaply). ---
+    invalid_key = jnp.uint32(0xFFFFFFFF)
+    keys_slots = []
+    for j in range(slots):
+        dy = j // w_t
+        dx = j - dy * w_t
+        tile = (ty0 + dy) * tx_tiles + (tx0 + dx)
+        slot_ok = visible & (j < n_rect) & (dy < h_t)
+        key = jnp.where(
+            slot_ok,
+            (tile.astype(jnp.uint32) << np.uint32(depth_bits)) | depth_q,
+            invalid_key,
+        )
+        keys_slots.append(key)
+
+    keys = jnp.stack(keys_slots, axis=1).reshape(-1)  # (N*slots,), splat-major
+    payload = tuple(
+        jnp.broadcast_to(w[:, None], (n, slots)).reshape(-1) for w in (w0, w1, w2, w3, w4)
+    )
+
+    # pad to a chunk multiple so the rasterizer can DMA fixed-size chunks
+    m = n * slots
+    m_pad = -(-m // config.chunk_size) * config.chunk_size
+    if m_pad != m:
+        pad = m_pad - m
+        keys = jnp.concatenate([keys, jnp.full((pad,), invalid_key, jnp.uint32)])
+        payload = tuple(jnp.concatenate([w, jnp.zeros((pad,), jnp.uint32)]) for w in payload)
+
+    return PreprocessOut(
+        keys=keys,
+        payload=payload,
+        num_visible=jnp.sum(visible.astype(jnp.int32)),
+        num_clamped=jnp.sum((visible & (n_rect > slots)).astype(jnp.int32)),
+    )

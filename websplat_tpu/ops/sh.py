@@ -1,0 +1,77 @@
+"""Spherical-harmonics color evaluation (deg <= 3, Condon-Shortley phase).
+
+Vectorized jnp equivalent of ``evaluate_sh``
+(/root/reference/src/shaders/preprocess.wgsl:114-154).  Instead of the
+shader's runtime degree branches, every band is evaluated and masked by
+``max_sh_deg`` — identical results, branch-free, XLA-fusible.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+SH_C0 = 0.28209479177387814
+SH_C1 = 0.4886025119029199
+SH_C2 = (
+    1.0925484305920792,
+    -1.0925484305920792,
+    0.31539156525252005,
+    -1.0925484305920792,
+    0.5462742152960396,
+)
+SH_C3 = (
+    -0.5900435899266435,
+    2.890611442640554,
+    -0.4570457994644658,
+    0.3731763325901154,
+    -0.4570457994644658,
+    1.445305721320277,
+    -0.5900435899266435,
+)
+
+
+def eval_sh(sh: jnp.ndarray, dirs: jnp.ndarray, max_sh_deg) -> jnp.ndarray:
+    """Evaluate SH color.
+
+    Args:
+      sh: (N, 16, 3) coefficients (f16 or f32; compute in f32).
+      dirs: (N, 3) unit view directions.
+      max_sh_deg: traced int degree in [0, 3].
+
+    Returns (N, 3) colors including the reference's +0.5 offset
+    (preprocess.wgsl:151); clamping to >= 0 happens at the call site
+    (preprocess.wgsl:257-258).
+    """
+    sh = sh.astype(jnp.float32)
+    x = dirs[:, 0:1]
+    y = dirs[:, 1:2]
+    z = dirs[:, 2:3]
+
+    result = SH_C0 * sh[:, 0]
+
+    band1 = -SH_C1 * y * sh[:, 1] + SH_C1 * z * sh[:, 2] - SH_C1 * x * sh[:, 3]
+
+    xx, yy, zz = x * x, y * y, z * z
+    xy, yz, xz = x * y, y * z, x * z
+    band2 = (
+        SH_C2[0] * xy * sh[:, 4]
+        + SH_C2[1] * yz * sh[:, 5]
+        + SH_C2[2] * (2.0 * zz - xx - yy) * sh[:, 6]
+        + SH_C2[3] * xz * sh[:, 7]
+        + SH_C2[4] * (xx - yy) * sh[:, 8]
+    )
+    band3 = (
+        SH_C3[0] * y * (3.0 * xx - yy) * sh[:, 9]
+        + SH_C3[1] * xy * z * sh[:, 10]
+        + SH_C3[2] * y * (4.0 * zz - xx - yy) * sh[:, 11]
+        + SH_C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy) * sh[:, 12]
+        + SH_C3[4] * x * (4.0 * zz - xx - yy) * sh[:, 13]
+        + SH_C3[5] * z * (xx - yy) * sh[:, 14]
+        + SH_C3[6] * x * (xx - 3.0 * yy) * sh[:, 15]
+    )
+
+    deg = jnp.asarray(max_sh_deg)
+    result = result + jnp.where(deg > 0, 1.0, 0.0) * band1
+    result = result + jnp.where(deg > 1, 1.0, 0.0) * band2
+    result = result + jnp.where(deg > 2, 1.0, 0.0) * band3
+    return result + 0.5

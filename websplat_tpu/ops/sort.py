@@ -1,0 +1,49 @@
+"""Depth/tile instance sorting + per-tile range extraction.
+
+The reference uses a WGSL port of the Fuchsia Vulkan radix sort with atomics
+and decoupled lookback (/root/reference/src/gpu_rs.rs,
+/root/reference/src/shaders/radix_sort.wgsl).  None of that maps to TPU (no
+global atomics, no cross-block spinning); a deterministic stable sort does
+the same job:
+
+- backend "xla": ``lax.sort`` (stable, multi-operand) — the baseline.
+- backend "pallas": custom streaming merge sort (websplat_tpu/ops/sort_pallas.py)
+  tuned for u32 keys + payload words, beating lax.sort on large M.
+
+Tile ranges replace the reference's indirect-draw count: with keys packed as
+(tile << depth_bits | depth), ``searchsorted`` on the tile boundary keys
+yields each tile's [start, end) span in the sorted instance array.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def sort_instances(
+    keys: jnp.ndarray,
+    payload: Sequence[jnp.ndarray],
+    backend: str = "xla",
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, ...]]:
+    """Stable-sort instances by the packed u32 key; invalid (0xFFFFFFFF) keys
+    land at the end (radix_sort.wgsl:79's padding convention)."""
+    if backend == "pallas":
+        from websplat_tpu.ops.sort_pallas import merge_sort
+
+        return merge_sort(keys, tuple(payload))
+    out = lax.sort((keys,) + tuple(payload), num_keys=1, is_stable=True)
+    return out[0], tuple(out[1:])
+
+
+def tile_ranges(sorted_keys: jnp.ndarray, num_tiles: int, depth_bits: int) -> jnp.ndarray:
+    """(num_tiles + 1,) int32 boundaries: tile t spans [out[t], out[t+1])."""
+    boundaries = (jnp.arange(num_tiles + 1, dtype=jnp.uint32) << np.uint32(depth_bits))
+    # searchsorted needs a consistent comparison; uint32 is supported by XLA,
+    # but guard against the final boundary overflowing into the sentinel
+    # region: boundary[num_tiles] = num_tiles << depth_bits <= 0xFFFFFFFF
+    # because tile_bits = ceil(log2(num_tiles + 1)).
+    return jnp.searchsorted(sorted_keys, boundaries, side="left").astype(jnp.int32)

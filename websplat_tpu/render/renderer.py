@@ -1,0 +1,184 @@
+"""GaussianRenderer — the whole-frame TPU render pipeline.
+
+Reference counterpart: ``GaussianRenderer`` (/root/reference/src/renderer.rs:
+33-288) which records preprocess -> radix sort -> indirect draw into a wgpu
+encoder.  Here a frame is one pure jit-compiled function:
+
+    preprocess (ops/preprocess.py)  ->  sort (ops/sort.py)
+        ->  tile ranges  ->  rasterize (ops/rasterize_pallas.py | _xla.py)
+
+Static (compile-time) inputs: viewport size, RasterConfig, N, compressed
+flag.  Traced inputs: cloud arrays, camera block, settings — so camera
+motion and UI settings never recompile (the reference analogue: uniforms vs
+pipeline specialization constants, renderer.rs:379-392).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from websplat_tpu.config import RasterConfig, ResolvedSettings, SplattingArgs, resolve_settings
+from websplat_tpu.io.loader import GaussianCloud
+from websplat_tpu.models.camera import CameraUniforms, PerspectiveCamera
+from websplat_tpu.ops.preprocess import (
+    CameraParams,
+    DeviceCloud,
+    DeviceSettings,
+    preprocess,
+)
+from websplat_tpu.ops.sort import sort_instances, tile_ranges
+
+
+def upload_cloud(cloud: GaussianCloud) -> DeviceCloud:
+    """Host cloud -> device pytree (reference: PointCloud::new upload,
+    /root/reference/src/pointcloud.rs:99-170).  The f16 wire values are
+    widened to f32 once; SH stays f16 in HBM (it is the bulk of the bytes and
+    the preprocess reads it once per frame)."""
+    return DeviceCloud(
+        xyz=jnp.asarray(cloud.xyz, jnp.float32),
+        cov=jnp.asarray(cloud.cov.astype(np.float32)),
+        opacity=jnp.asarray(cloud.opacity.astype(np.float32)),
+        sh=jnp.asarray(cloud.sh, jnp.float16),
+    )
+
+
+def settings_to_device(s: ResolvedSettings) -> DeviceSettings:
+    return DeviceSettings(
+        clipping_box_min=jnp.asarray(s.clipping_box_min, jnp.float32),
+        clipping_box_max=jnp.asarray(s.clipping_box_max, jnp.float32),
+        gaussian_scaling=jnp.float32(s.gaussian_scaling),
+        max_sh_deg=jnp.int32(s.max_sh_deg),
+        mip_splatting=jnp.bool_(s.mip_splatting),
+        kernel_size=jnp.float32(s.kernel_size),
+        walltime=jnp.float32(s.walltime),
+        scene_extend=jnp.float32(s.scene_extend),
+        scene_center=jnp.asarray(s.scene_center, jnp.float32),
+    )
+
+
+def camera_to_device(cam: CameraUniforms) -> CameraParams:
+    return CameraParams(
+        view=jnp.asarray(cam.view, jnp.float32),
+        view_inv=jnp.asarray(cam.view_inv, jnp.float32),
+        proj=jnp.asarray(cam.proj, jnp.float32),
+        viewport=jnp.asarray(cam.viewport, jnp.float32),
+        focal=jnp.asarray(cam.focal, jnp.float32),
+    )
+
+
+def render_frame_impl(
+    cloud: DeviceCloud,
+    camera: CameraParams,
+    settings: DeviceSettings,
+    background: jnp.ndarray,
+    *,
+    width: int,
+    height: int,
+    config: RasterConfig,
+    compressed: bool = False,
+    return_diag: bool = False,
+):
+    """Unjitted frame core: (H, W, 3) f32 linear image (+ diagnostics).
+
+    Composable under jit / vmap / shard_map (the multi-view and multi-chip
+    paths in websplat_tpu/parallel wrap this)."""
+    pre = preprocess(
+        cloud, camera, settings, width=width, height=height, config=config,
+        compressed=compressed,
+    )
+    sorted_keys, sorted_payload = sort_instances(
+        pre.keys, pre.payload, backend=config.sort_backend
+    )
+    tx, ty = config.tiles_for(width, height)
+    _, depth_bits = config.key_bits(width, height)
+    ranges = tile_ranges(sorted_keys, tx * ty, depth_bits)
+
+    if config.raster_backend == "pallas":
+        from websplat_tpu.ops.rasterize_pallas import rasterize_pallas
+
+        img = rasterize_pallas(
+            sorted_payload, ranges, background, width=width, height=height, config=config
+        )
+    else:
+        from websplat_tpu.ops.rasterize_xla import rasterize_xla
+
+        img = rasterize_xla(
+            sorted_payload, ranges, background, width=width, height=height, config=config
+        )
+    if return_diag:
+        return img, dict(
+            num_visible=pre.num_visible,
+            num_clamped=pre.num_clamped,
+            num_instances=ranges[-1],
+        )
+    return img
+
+
+render_frame = jax.jit(
+    render_frame_impl,
+    static_argnames=("width", "height", "config", "compressed", "return_diag"),
+)
+
+
+class GaussianRenderer:
+    """Stateful convenience wrapper (device cloud + jit cache).
+
+    Mirrors the reference's GaussianRenderer::{new, prepare, render,
+    num_visible_points} surface (renderer.rs:33,191,250,170) in one
+    ``render()`` call; `prepare`/`render` need no split because XLA owns the
+    whole frame graph.
+    """
+
+    def __init__(
+        self,
+        cloud: GaussianCloud,
+        config: Optional[RasterConfig] = None,
+    ):
+        self.cloud = cloud
+        self.config = config or RasterConfig()
+        self.device_cloud = upload_cloud(cloud)
+        self._last_diag = None
+
+    def render(
+        self,
+        camera: PerspectiveCamera,
+        viewport: Tuple[int, int],
+        args: SplattingArgs = SplattingArgs(),
+        fit_near_far: bool = True,
+        with_diag: bool = False,
+    ) -> np.ndarray:
+        width, height = int(viewport[0]), int(viewport[1])
+        if fit_near_far:
+            # per-frame near/far fit against the scene AABB
+            # (/root/reference/src/lib.rs:396-397, camera.rs:26-35)
+            camera.fit_near_far(*self.cloud.aabb)
+        cam = CameraUniforms.from_camera(camera, (width, height))
+        settings = resolve_settings(args, self.cloud)
+        out = render_frame(
+            self.device_cloud,
+            camera_to_device(cam),
+            settings_to_device(settings),
+            jnp.asarray(settings.background_color, jnp.float32),
+            width=width,
+            height=height,
+            config=self.config,
+            compressed=self.cloud.compressed,
+            return_diag=with_diag,
+        )
+        if with_diag:
+            img, diag = out
+            self._last_diag = jax.device_get(diag)
+            return np.asarray(jax.device_get(img))
+        return np.asarray(jax.device_get(out))
+
+    @property
+    def num_visible_points(self) -> Optional[int]:
+        """Visible-splat count from the last diag render (renderer.rs:170-189)."""
+        if self._last_diag is None:
+            return None
+        return int(self._last_diag["num_visible"])
