@@ -14,11 +14,8 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 
-from jax._src import xla_bridge as _xb
-
-if not _xb._backends:  # not yet initialized: safe to drop accelerator factories
-    for _name in ("axon", "tpu"):
-        _xb._backend_factories.pop(_name, None)
+# The sitecustomize-exported JAX_PLATFORMS=axon wins over the env var we set
+# above (jax was already imported), but the config flag wins over both.
 jax.config.update("jax_platforms", "cpu")
 
 import numpy as np

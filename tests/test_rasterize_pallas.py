@@ -1,0 +1,66 @@
+"""Pallas rasterizer vs the XLA rasterizer (bit-comparable inputs) and the
+oracle, run in TPU interpret mode on CPU."""
+
+import numpy as np
+import pytest
+
+from websplat_tpu.config import RasterConfig, SplattingArgs, resolve_settings
+from websplat_tpu.models.camera import CameraUniforms
+from websplat_tpu.ops.oracle import render_oracle
+from websplat_tpu.render.renderer import GaussianRenderer
+from websplat_tpu.utils.image import psnr
+from tests.synth import make_camera, make_cloud
+
+W, H = 96, 64
+
+
+def _render(cloud, cam, args, backend, **cfg_kw):
+    cfg = RasterConfig(raster_backend=backend, tile_slots=16, **cfg_kw)
+    r = GaussianRenderer(cloud, cfg)
+    return r.render(cam, (W, H), args, with_diag=True), r
+
+
+@pytest.mark.parametrize("chunk", [64, 256])
+def test_pallas_matches_xla(rng, chunk):
+    cloud = make_cloud(rng, n=250)
+    cam = make_camera(viewport=(W, H))
+    args = SplattingArgs(background_color=(0.2, 0.1, 0.4))
+    (img_p, _), _ = _render(cloud, cam, args, "pallas", chunk_size=chunk), None
+    (img_x, _), _ = _render(cloud, cam, args, "xla", chunk_size=chunk), None
+    # same packed inputs, same math; differences only from blend association
+    # and the pallas early-exit epsilon
+    assert np.isfinite(img_p).all()
+    assert np.abs(img_p - img_x).max() < 5e-3
+    assert psnr(img_p, img_x) > 55
+
+
+def test_pallas_matches_oracle(rng):
+    cloud = make_cloud(rng, n=250)
+    cam = make_camera(viewport=(W, H))
+    args = SplattingArgs()
+    (img_p, r), _ = _render(cloud, cam, args, "pallas"), None
+    settings = resolve_settings(args, cloud)
+    uni = CameraUniforms.from_camera(cam, (W, H))
+    ref = render_oracle(cloud, uni, settings, W, H)
+    assert r._last_diag["num_clamped"] == 0
+    assert psnr(img_p, ref) > 40
+
+
+def test_pallas_empty_scene(rng):
+    cloud = make_cloud(rng, n=16)
+    cam = make_camera(viewport=(W, H), azimuth=np.pi)  # looking away-ish
+    cam.position = np.array([100.0, 100.0, 100.0], np.float32)
+    args = SplattingArgs(background_color=(1.0, 0.5, 0.0))
+    (img, r), _ = _render(cloud, cam, args, "pallas"), None
+    if r._last_diag["num_visible"] == 0:
+        np.testing.assert_allclose(img, np.broadcast_to([1.0, 0.5, 0.0], img.shape), atol=1e-6)
+
+
+def test_pallas_early_exit_consistency(rng):
+    """Opaque overlapping splats: early exit (eps=1e-4) vs exact (eps=0)."""
+    cloud = make_cloud(rng, n=300, opacity_logit_range=(3.0, 5.0))
+    cam = make_camera(viewport=(W, H))
+    args = SplattingArgs()
+    (img_fast, _), _ = _render(cloud, cam, args, "pallas", transmittance_eps=1e-4), None
+    (img_exact, _), _ = _render(cloud, cam, args, "pallas", transmittance_eps=0.0), None
+    assert np.abs(img_fast - img_exact).max() < 1e-3

@@ -52,7 +52,7 @@ class RasterConfig:
     sort_backend: str = "xla"
 
     # Rasterizer backend: "pallas" or "xla" (reference/debug fallback).
-    raster_backend: str = "xla"
+    raster_backend: str = "pallas"
 
     # Static cap on per-tile splat count used ONLY by the XLA fallback
     # rasterizer (the Pallas kernel has no cap; it loops the true range).

@@ -290,13 +290,14 @@ def preprocess(
         jnp.broadcast_to(w[:, None], (n, slots)).reshape(-1) for w in (w0, w1, w2, w3, w4)
     )
 
-    # pad to a chunk multiple so the rasterizer can DMA fixed-size chunks
+    # pad to a chunk multiple PLUS one extra chunk: a tile's last DMA starts
+    # anywhere inside its span and always reads a full chunk, so the tail
+    # needs chunk_size sentinel slots of headroom
     m = n * slots
-    m_pad = -(-m // config.chunk_size) * config.chunk_size
-    if m_pad != m:
-        pad = m_pad - m
-        keys = jnp.concatenate([keys, jnp.full((pad,), invalid_key, jnp.uint32)])
-        payload = tuple(jnp.concatenate([w, jnp.zeros((pad,), jnp.uint32)]) for w in payload)
+    m_pad = (-(-m // config.chunk_size) + 1) * config.chunk_size
+    pad = m_pad - m
+    keys = jnp.concatenate([keys, jnp.full((pad,), invalid_key, jnp.uint32)])
+    payload = tuple(jnp.concatenate([w, jnp.zeros((pad,), jnp.uint32)]) for w in payload)
 
     return PreprocessOut(
         keys=keys,
