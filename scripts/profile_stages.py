@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Per-stage frame profiler — the GPUStopwatch analogue.
+
+The reference profiles preprocess / sorting / rasterization with GPU
+timestamp queries (/root/reference/src/utils.rs:26-134, hooked at
+renderer.rs:220-239 and lib.rs:447-466).  Through the axon tunnel,
+``block_until_ready`` does not block, so each stage is timed by running a
+truncated pipeline K times chained inside one jit (two different K; the
+slope removes fixed overhead).
+
+Usage: python scripts/profile_stages.py [n_splats] [width] [height]
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tests")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from websplat_tpu.config import RasterConfig, SplattingArgs, resolve_settings
+from websplat_tpu.models.camera import CameraUniforms
+from websplat_tpu.ops.preprocess import preprocess
+from websplat_tpu.ops.sort import sort_instances, tile_ranges
+from websplat_tpu.render.renderer import (
+    camera_to_device,
+    settings_to_device,
+    upload_cloud,
+)
+from synth import make_camera, make_cloud
+
+
+def timed(f, *args, n1=2, n2=8):
+    """Slope timing: run f chained n times in one jit, readback one scalar."""
+
+    def loop(n):
+        @jax.jit
+        def g(*a):
+            def body(i, acc):
+                r = f(*a, salt=i)
+                return acc + r
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+        return g
+
+    f1, f2 = loop(n1), loop(n2)
+    float(f1(*args))
+    float(f2(*args))
+    ts = []
+    for g, n in [(f1, n1), (f2, n2), (f1, n1), (f2, n2)]:
+        t0 = time.perf_counter()
+        float(g(*args))
+        ts.append((time.perf_counter() - t0, n))
+    t1 = min(t for t, n in ts if n == n1)
+    t2 = min(t for t, n in ts if n == n2)
+    return (t2 - t1) / (n2 - n1) * 1e3
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_244_819
+    width = int(sys.argv[2]) if len(sys.argv) > 2 else 1200
+    height = int(sys.argv[3]) if len(sys.argv) > 3 else 799
+
+    rng = np.random.default_rng(0)
+    cloud = make_cloud(rng, n=n, extent=2.0, scale_range=(-6.5, -3.5))
+    cam = make_camera(viewport=(width, height), distance=3.0)
+    cam.fit_near_far(*cloud.aabb)
+    uni = CameraUniforms.from_camera(cam, (width, height))
+    settings = resolve_settings(SplattingArgs(), cloud)
+    config = RasterConfig()
+
+    dc = upload_cloud(cloud)
+    dcam = camera_to_device(uni)
+    dset = settings_to_device(settings)
+    bg = jnp.asarray(settings.background_color, jnp.float32)
+    tx, ty = config.tiles_for(width, height)
+    _, depth_bits = config.key_bits(width, height)
+
+    def salted(cam, salt):
+        # perturb a traced input so chained iterations cannot be CSE'd
+        return cam._replace(view=cam.view + salt * 1e-12)
+
+    def stage_pre(dc, dcam, dset, salt=0):
+        pre = preprocess(dc, salted(dcam, salt), dset, width=width, height=height,
+                         config=config)
+        return pre.keys[::65536].astype(jnp.float32).sum()
+
+    def stage_sort(dc, dcam, dset, salt=0):
+        pre = preprocess(dc, salted(dcam, salt), dset, width=width, height=height,
+                         config=config)
+        sk, sp = sort_instances(pre.keys, pre.payload, backend=config.sort_backend)
+        return sk[::65536].astype(jnp.float32).sum()
+
+    def stage_ranges(dc, dcam, dset, salt=0):
+        pre = preprocess(dc, salted(dcam, salt), dset, width=width, height=height,
+                         config=config)
+        sk, sp = sort_instances(pre.keys, pre.payload, backend=config.sort_backend)
+        r = tile_ranges(sk, tx * ty, depth_bits)
+        return r.astype(jnp.float32).sum()
+
+    def stage_full(dc, dcam, dset, bg, salt=0):
+        from websplat_tpu.render.renderer import render_frame_impl
+
+        img = render_frame_impl(dc, salted(dcam, salt), dset, bg,
+                                width=width, height=height, config=config)
+        return img[::256, ::256].sum()
+
+    t_pre = timed(stage_pre, dc, dcam, dset)
+    t_sort = timed(stage_sort, dc, dcam, dset)
+    t_rng = timed(stage_ranges, dc, dcam, dset)
+    t_full = timed(stage_full, dc, dcam, dset, bg)
+    print(f"backend={jax.default_backend()} n={n} {width}x{height} "
+          f"slots={config.tile_slots} sort={config.sort_backend}")
+    print(f"preprocess            : {t_pre:8.2f} ms")
+    print(f"+ sort                : {t_sort:8.2f} ms  (sort ~ {t_sort - t_pre:.2f})")
+    print(f"+ tile ranges         : {t_rng:8.2f} ms  (ranges ~ {t_rng - t_sort:.2f})")
+    print(f"full frame            : {t_full:8.2f} ms  (raster ~ {t_full - t_rng:.2f})")
+
+
+if __name__ == "__main__":
+    main()

@@ -20,13 +20,12 @@ def _render(cloud, cam, args, backend, **cfg_kw):
     return r.render(cam, (W, H), args, with_diag=True), r
 
 
-@pytest.mark.parametrize("chunk", [64, 256])
-def test_pallas_matches_xla(rng, chunk):
+def test_pallas_matches_xla(rng):
     cloud = make_cloud(rng, n=250)
     cam = make_camera(viewport=(W, H))
     args = SplattingArgs(background_color=(0.2, 0.1, 0.4))
-    (img_p, _), _ = _render(cloud, cam, args, "pallas", chunk_size=chunk), None
-    (img_x, _), _ = _render(cloud, cam, args, "xla", chunk_size=chunk), None
+    (img_p, _), _ = _render(cloud, cam, args, "pallas"), None
+    (img_x, _), _ = _render(cloud, cam, args, "xla"), None
     # same packed inputs, same math; differences only from blend association
     # and the pallas early-exit epsilon
     assert np.isfinite(img_p).all()

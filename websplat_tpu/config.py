@@ -31,7 +31,7 @@ class RasterConfig:
 
     # Screen tile edge in pixels.  32x32 = 1024 px = exactly one (8,128) VPU
     # register tile, the native vector shape of the TPU.
-    tile_size: int = 32
+    tile_size: int = 16
 
     # Maximum number of tile instances each splat may emit during binning
     # (the sort size is N * tile_slots).  Splats whose screen-space extent
@@ -39,14 +39,26 @@ class RasterConfig:
     # every splat with radius <= tile_size/2 px exactly.
     tile_slots: int = 4
 
-    # Splats per inner chunk of the Pallas rasterizer (DMA granularity).
-    chunk_size: int = 256
+    # Instance padding granularity (= the Pallas rasterizer DMA chunk).
+    chunk_size: int = 1024
 
     # Early-termination threshold on transmittance.  The reference blends
     # every fragment back-to-front with no early out
     # (/root/reference/src/shaders/gaussian.wgsl:59-67); front-to-back with
     # T < eps cutoff is mathematically identical up to eps.  0.0 disables.
     transmittance_eps: float = 1e-4
+
+    # Skip blending for 8-splat groups with no contribution (branchy but
+    # saves work in sparse tiles).
+    group_skip: bool = True
+
+    # Compact invalid instances out before the sort (Pallas kernel): the sort
+    # then runs over ~the true instance count instead of N * tile_slots,
+    # which is what makes large slot budgets affordable.  The compacted
+    # capacity is ceil(instance_capacity_factor * N); overflow instances are
+    # dropped and reported in the render diagnostics.
+    compact: bool = False
+    instance_capacity_factor: float = 2.5
 
     # Sort backend: "xla" (lax.sort) or "pallas" (custom streaming sort).
     sort_backend: str = "xla"

@@ -1,0 +1,154 @@
+"""Pallas stream compaction: drop invalid instances before the sort.
+
+The reference compacts visible splats with a global atomic counter
+(``atomicAdd(&sort_infos.keys_size, 1)``, preprocess.wgsl:262) so its radix
+sort only touches visible splats.  TPUs have no global atomics and XLA's
+scatter runs at ~50 ms per million rows, but an *unordered* compaction
+(order is irrelevant — the stable sort that follows re-orders everything)
+can be built from purely vectorized primitives:
+
+  phase 1 (XLA):    per-block valid counts, rounded up to 128 (the HBM lane
+                    tile) -> exclusive block offsets, so every block's
+                    output lands at a lane-aligned address.
+  phase 2 (Pallas): grid over blocks of an (8, M) u32 instance matrix
+                    (row 0 = sort key, rows 1-5 = packed record).  Each
+                    block moves valid lanes to the front with a bit-serial
+                    monotone shuffle — every lane moves left by the number
+                    of invalid lanes before it, applied one power of two at
+                    a time; valid for monotone shifts — then one DMA writes
+                    the whole block at its offset.  The TPU grid executes
+                    sequentially, so the next block's write overwrites this
+                    block's garbage tail, leaving a contiguous compacted
+                    stream (with <=127 interspersed sentinel pads per block,
+                    which the sort pushes to the end like any sentinel).
+
+This is what makes large ``tile_slots`` budgets affordable: the sort runs
+over the compacted capacity (~ true instance count) instead of N * slots.
+Instances past ``capacity`` are dropped and counted (diagnostic).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+INVALID_KEY = np.uint32(0xFFFFFFFF)
+
+BLOCK = 4096  # instances (lanes) per grid step
+ALIGN = 128  # HBM lane tile: per-block output offsets stay 128-aligned
+
+
+def _compact_kernel(capacity_pad: int):
+    n_steps = int(np.log2(BLOCK))
+
+    def kernel(offsets_ref, in_ref, out_hbm, staged, sem):
+        b = pl.program_id(0)
+        x = in_ref[...]  # (8, BLOCK) u32; row 0 = key, row 6 = scratch
+
+        lane = lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)
+        invalid = (x[0:1, :] == INVALID_KEY).astype(jnp.int32)
+
+        # exclusive prefix count of invalid lanes
+        pre = invalid
+        for k in [1 << i for i in range(n_steps)]:
+            pre = pre + jnp.where(lane >= k, pltpu.roll(pre, shift=k, axis=1), 0)
+        shift = pre - invalid  # (1, BLOCK) exclusive
+
+        # stash the shift in scratch row 6 so it travels with the lanes
+        x = jnp.concatenate([x[0:6], shift.astype(jnp.uint32), x[7:8]], axis=0)
+
+        # bit-serial monotone left-shuffle (LSB first)
+        for bit in range(n_steps):
+            k = 1 << bit
+            rolled = pltpu.roll(x, shift=BLOCK - k, axis=1)  # lane f <- f+k
+            arrive = (rolled[6:7, :] & np.uint32(k)) != 0
+            x = jnp.where(arrive, rolled, x)
+
+        # sentinel-fill the pad lanes between v_b and the 128-aligned count
+        # (leftover shuffle copies there could masquerade as valid keys)
+        v = jnp.sum(1 - invalid)
+        key_row = jnp.where(lane >= v, jnp.uint32(INVALID_KEY), x[0:1, :])
+        x = jnp.concatenate([key_row, x[1:8]], axis=0)
+
+        staged[...] = x
+        off = jnp.minimum(offsets_ref[b], capacity_pad - BLOCK)
+        copy = pltpu.make_async_copy(staged, out_hbm.at[:, pl.ds(off, BLOCK)], sem)
+        copy.start()
+        copy.wait()
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("capacity", "interpret"))
+def compact_instances(
+    keys: jnp.ndarray,
+    payload: Tuple[jnp.ndarray, ...],
+    *,
+    capacity: int,
+    interpret: bool = False,
+):
+    """Compact (keys, 5-word payload) by key != INVALID -> static capacity.
+
+    Returns (keys', payload', num_valid, num_dropped); keys' has all valid
+    instances in the first ~num_valid slots (plus <=127 sentinels interleaved
+    per source block) and sentinels elsewhere.
+    """
+    m = keys.shape[0]
+    if m % BLOCK != 0:
+        pad = -(-m // BLOCK) * BLOCK - m
+        keys = jnp.concatenate([keys, jnp.full((pad,), INVALID_KEY, jnp.uint32)])
+        payload = tuple(
+            jnp.concatenate([w, jnp.zeros((pad,), jnp.uint32)]) for w in payload
+        )
+        m += pad
+    capacity_pad = -(-capacity // BLOCK) * BLOCK + BLOCK
+    n_blocks = m // BLOCK
+
+    zeros = jnp.zeros_like(keys)
+    x = jnp.stack((keys,) + tuple(payload) + (zeros, zeros), axis=0)  # (8, M)
+
+    # phase 1: block offsets (XLA)
+    valid = (keys != INVALID_KEY).reshape(n_blocks, BLOCK)
+    v_b = jnp.sum(valid.astype(jnp.int32), axis=1)
+    v_pad = -(-v_b // ALIGN) * ALIGN
+    offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(v_pad)[:-1]]).astype(
+        jnp.int32
+    )
+    total = jnp.sum(v_pad)
+    num_valid = jnp.sum(v_b)
+    num_dropped = jnp.maximum(0, total - capacity)
+
+    interp = pltpu.InterpretParams() if (interpret or jax.default_backend() != "tpu") else False
+    out = pl.pallas_call(
+        _compact_kernel(capacity_pad),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((8, BLOCK), lambda b, offs: (0, b), memory_space=pltpu.VMEM)
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((8, BLOCK), jnp.uint32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, capacity_pad), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interp,
+    )(offsets, x)
+
+    # tail beyond the last block's write is uninitialized -> sentinel it;
+    # also sentinel anything past the requested capacity
+    cap_iota = jnp.arange(capacity_pad, dtype=jnp.int32)
+    tail = (cap_iota >= jnp.minimum(total, capacity)) | (cap_iota >= capacity)
+    out_keys = jnp.where(tail, jnp.uint32(INVALID_KEY), out[0])
+    out_payload = tuple(out[i] for i in range(1, 6))
+    return out_keys, out_payload, num_valid, num_dropped

@@ -91,8 +91,18 @@ def render_frame_impl(
         cloud, camera, settings, width=width, height=height, config=config,
         compressed=compressed,
     )
+    keys, payload = pre.keys, pre.payload
+    num_dropped = jnp.int32(0)
+    if config.compact:
+        from websplat_tpu.ops.compact_pallas import compact_instances
+
+        n = cloud.xyz.shape[0]
+        capacity = max(4096, int(config.instance_capacity_factor * n))
+        keys, payload, _, num_dropped = compact_instances(
+            keys, payload, capacity=capacity
+        )
     sorted_keys, sorted_payload = sort_instances(
-        pre.keys, pre.payload, backend=config.sort_backend
+        keys, payload, backend=config.sort_backend
     )
     tx, ty = config.tiles_for(width, height)
     _, depth_bits = config.key_bits(width, height)
@@ -115,6 +125,7 @@ def render_frame_impl(
             num_visible=pre.num_visible,
             num_clamped=pre.num_clamped,
             num_instances=ranges[-1],
+            num_dropped=num_dropped,
         )
     return img
 
