@@ -1,0 +1,98 @@
+"""End-to-end CLI app tests on tiny synthetic datasets."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from websplat_tpu.io.ply import write_ply
+from websplat_tpu.models.scene import SceneCamera, Split
+from websplat_tpu.utils.image import read_png
+from tests.synth import make_camera, make_cloud, random_quats
+
+
+@pytest.fixture()
+def dataset(tmp_path, rng):
+    """Tiny PLY + cameras.json dataset on disk."""
+    n = 80
+    xyz = rng.normal(size=(n, 3)).astype(np.float32) * 0.5
+    sh = rng.normal(size=(n, 1, 3)).astype(np.float32) * 0.3
+    write_ply(
+        str(tmp_path / "point_cloud.ply"),
+        xyz,
+        sh,
+        rng.normal(size=n).astype(np.float32),
+        rng.uniform(-4, -2.5, size=(n, 3)).astype(np.float32),
+        random_quats(rng, n),
+    )
+    cams = []
+    for i in range(6):
+        cam = make_camera(azimuth=i, viewport=(64, 48))
+        sc = SceneCamera.from_perspective(cam, f"img{i}", i, (64, 48), Split.TRAIN)
+        cams.append(sc.to_json_dict())
+    (tmp_path / "cameras.json").write_text(json.dumps(cams))
+    return tmp_path
+
+
+def test_render_app(dataset):
+    from websplat_tpu.apps.render import main
+
+    out = dataset / "renders"
+    main([str(dataset / "point_cloud.ply"), "--out", str(out), "--splits", "test,train"])
+    test_imgs = sorted(os.listdir(out / "test"))
+    train_imgs = sorted(os.listdir(out / "train"))
+    assert len(test_imgs) == 1  # every 8th of 6 cameras -> 1 test
+    assert len(train_imgs) == 5
+    img = read_png(str(out / "train" / train_imgs[0]))
+    assert img.shape == (48, 64, 3)
+
+
+def test_render_app_psnr_self(dataset):
+    """--psnr-vs against its own output reports ~inf PSNR."""
+    from websplat_tpu.apps.render import main
+
+    out = dataset / "r1"
+    main([str(dataset / "point_cloud.ply"), "--out", str(out), "--splits", "test"])
+    main(
+        [
+            str(dataset / "point_cloud.ply"),
+            "--out",
+            str(dataset / "r2"),
+            "--splits",
+            "test",
+            "--psnr-vs",
+            str(out),
+        ]
+    )
+
+
+def test_measure_app(dataset, capsys):
+    from websplat_tpu.apps.measure import main
+
+    main([str(dataset / "point_cloud.ply"), "--width", "64", "--height", "64",
+          "--samples", "2"])
+    out = capsys.readouterr().out
+    assert "average FPS:" in out
+
+
+def test_video_app(dataset):
+    from websplat_tpu.apps.video import main
+
+    out = dataset / "frames"
+    main([str(dataset / "point_cloud.ply"), "--out", str(out), "--fps", "2",
+          "--duration", "1.5", "--width", "64", "--height", "48"])
+    frames = sorted(os.listdir(out))
+    assert frames == ["frame_0000.png", "frame_0001.png", "frame_0002.png"]
+
+
+def test_scene_autodiscovery(dataset):
+    from websplat_tpu.apps.common import find_scene_file
+
+    assert find_scene_file(str(dataset / "point_cloud.ply")) == str(
+        dataset / "cameras.json"
+    )
+    sub = dataset / "a" / "b"
+    sub.mkdir(parents=True)
+    (sub / "pc.ply").write_bytes(b"ply")
+    assert find_scene_file(str(sub / "pc.ply")) == str(dataset / "cameras.json")

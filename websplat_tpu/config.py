@@ -29,15 +29,17 @@ class RasterConfig:
     constants (string-injected, /root/reference/src/renderer.rs:379-392).
     """
 
-    # Screen tile edge in pixels.  32x32 = 1024 px = exactly one (8,128) VPU
-    # register tile, the native vector shape of the TPU.
-    tile_size: int = 16
+    # Screen tile dimensions in pixels.  tile_w * tile_h must be a multiple
+    # of 128 (the VPU lane count); 16x8 = 128 px makes every blend op exactly
+    # one vector register, which matters because the rasterizer is
+    # issue-rate bound.
+    tile_w: int = 16
+    tile_h: int = 8
 
     # Maximum number of tile instances each splat may emit during binning
     # (the sort size is N * tile_slots).  Splats whose screen-space extent
-    # covers more tiles are clamped to a centered sub-rectangle.  4 covers
-    # every splat with radius <= tile_size/2 px exactly.
-    tile_slots: int = 4
+    # covers more tiles are clamped to the leading tiles of their rect.
+    tile_slots: int = 6
 
     # Instance padding granularity (= the Pallas rasterizer DMA chunk).
     chunk_size: int = 1024
@@ -71,8 +73,7 @@ class RasterConfig:
     xla_max_per_tile: int = 2048
 
     def tiles_for(self, width: int, height: int) -> Tuple[int, int]:
-        ts = self.tile_size
-        return (-(-width // ts), -(-height // ts))
+        return (-(-width // self.tile_w), -(-height // self.tile_h))
 
     def key_bits(self, width: int, height: int) -> Tuple[int, int]:
         """(tile_bits, depth_bits) of the packed 32-bit sort key.

@@ -97,7 +97,7 @@ def preprocess(
     compressed: bool = False,
 ) -> PreprocessOut:
     n = cloud.xyz.shape[0]
-    ts = config.tile_size
+    ts_x, ts_y = config.tile_w, config.tile_h
     tx_tiles, ty_tiles = config.tiles_for(width, height)
     tile_bits, depth_bits = config.key_bits(width, height)
     cq = packing.CenterQuant.for_viewport(width, height)
@@ -247,10 +247,10 @@ def preprocess(
 
     # --- tile rect ---
     slots = config.tile_slots
-    rx0 = jnp.floor((px - ext_x) / ts)
-    rx1 = jnp.floor((px + ext_x) / ts)
-    ry0 = jnp.floor((py - ext_y) / ts)
-    ry1 = jnp.floor((py + ext_y) / ts)
+    rx0 = jnp.floor((px - ext_x) / ts_x)
+    rx1 = jnp.floor((px + ext_x) / ts_x)
+    ry0 = jnp.floor((py - ext_y) / ts_y)
+    ry1 = jnp.floor((py + ext_y) / ts_y)
     on_screen = (rx1 >= 0) & (rx0 < tx_tiles) & (ry1 >= 0) & (ry0 < ty_tiles)
     visible = visible & on_screen
     tx0 = jnp.clip(rx0, 0, tx_tiles - 1).astype(jnp.int32)
@@ -270,14 +270,49 @@ def preprocess(
     # --- emit slots: row-major enumeration of the true rect through the
     # static slot budget.  4 slots cover any 1x4 / 4x1 / 2x2 rect exactly;
     # rects with more than `slots` tiles lose their tail tiles (reported via
-    # diagnostics; the Pallas compaction path raises the budget cheaply). ---
+    # diagnostics; the Pallas compaction path raises the budget cheaply).
+    #
+    # Tight culling: a slot is only emitted if the splat's cutoff ellipse
+    # actually reaches its tile — the exact minimum of the convex quadratic
+    # a(d) = ha dx^2 + hb dx dy + hc dy^2 over the tile's pixel-center box
+    # (unconstrained minimum if the center is inside, else the best of the
+    # four clamped edge minimizers).  The reference has no equivalent (its
+    # hardware quads cover the full AABB and fragments discard), so this
+    # only removes zero-contribution instances. ---
+    half_a = 0.5 * conic_a
+    half_c = 0.5 * conic_c
+
+    def rect_min_a(x0, x1, y0, y1):
+        inside = (x0 <= 0.0) & (0.0 <= x1) & (y0 <= 0.0) & (0.0 <= y1)
+
+        def edge_x(e):
+            dy_s = jnp.clip(-conic_b * e / jnp.maximum(2.0 * half_c, 1e-20), y0, y1)
+            return half_a * e * e + conic_b * e * dy_s + half_c * dy_s * dy_s
+
+        def edge_y(e):
+            dx_s = jnp.clip(-conic_b * e / jnp.maximum(2.0 * half_a, 1e-20), x0, x1)
+            return half_a * dx_s * dx_s + conic_b * dx_s * e + half_c * e * e
+
+        best = jnp.minimum(
+            jnp.minimum(edge_x(x0), edge_x(x1)), jnp.minimum(edge_y(y0), edge_y(y1))
+        )
+        return jnp.where(inside, 0.0, best)
+
     invalid_key = jnp.uint32(0xFFFFFFFF)
     keys_slots = []
     for j in range(slots):
         dy = j // w_t
         dx = j - dy * w_t
-        tile = (ty0 + dy) * tx_tiles + (tx0 + dx)
-        slot_ok = visible & (j < n_rect) & (dy < h_t)
+        tx = tx0 + dx
+        ty = ty0 + dy
+        tile = ty * tx_tiles + tx
+        # tile pixel-center box relative to the splat center
+        bx0 = tx.astype(jnp.float32) * ts_x + 0.5 - px
+        bx1 = bx0 + (ts_x - 1)
+        by0 = ty.astype(jnp.float32) * ts_y + 0.5 - py
+        by1 = by0 + (ts_y - 1)
+        reaches = rect_min_a(bx0, bx1, by0, by1) <= 2.0 * CUTOFF
+        slot_ok = visible & (j < n_rect) & (dy < h_t) & reaches
         key = jnp.where(
             slot_ok,
             (tile.astype(jnp.uint32) << np.uint32(depth_bits)) | depth_q,

@@ -64,12 +64,13 @@ def _f16_vec(bits_u32):
 def _make_kernel(
     *,
     num_tiles_x: int,
-    tile_size: int,
+    tile_w: int,
+    tile_h: int,
     eps: float,
     cq: packing.CenterQuant,
     group_skip: bool = True,
 ):
-    p = tile_size * tile_size  # pixels per tile (multiple of 128)
+    p = tile_w * tile_h  # pixels per tile (multiple of 128)
     sub = p // 128
     n_groups = CHUNK // GROUP  # 128
 
@@ -78,14 +79,14 @@ def _make_kernel(
         start = ranges_ref[t]
         end = ranges_ref[t + 1]
 
-        tile_x = (t % num_tiles_x) * tile_size
-        tile_y = (t // num_tiles_x) * tile_size
+        tile_x = (t % num_tiles_x) * tile_w
+        tile_y = (t // num_tiles_x) * tile_h
 
         # flat pixel coordinates, laid out (1, P) to broadcast against the
         # (8, 1) per-group splat columns
         flat = lax.broadcasted_iota(jnp.int32, (1, p), 1)
-        pix_x = (tile_x + flat % tile_size).astype(jnp.float32) + 0.5
-        pix_y = (tile_y + flat // tile_size).astype(jnp.float32) + 0.5
+        pix_x = (tile_x + flat % tile_w).astype(jnp.float32) + 0.5
+        pix_y = (tile_y + flat // tile_w).astype(jnp.float32) + 0.5
 
         chunk0 = lax.div(start, CHUNK)
         n_chunks = lax.div(end + CHUNK - 1, CHUNK) - chunk0
@@ -222,13 +223,13 @@ def rasterize_pallas(
     interpret: bool = False,
 ):
     """-> (H, W, 3) f32 image from sorted packed instances + tile ranges."""
-    ts = config.tile_size
-    if (ts * ts) % 128 != 0:
-        raise ValueError("tile_size^2 must be a multiple of 128")
+    tw, th = config.tile_w, config.tile_h
+    if (tw * th) % 128 != 0:
+        raise ValueError("tile_w * tile_h must be a multiple of 128")
     tx_tiles, ty_tiles = config.tiles_for(width, height)
     num_tiles = tx_tiles * ty_tiles
     cq = packing.CenterQuant.for_viewport(width, height)
-    sub = (ts * ts) // 128
+    sub = (tw * th) // 128
 
     # (8, M) instance matrix (5 group-major record words + 3 dead rows): the
     # sublane dimension is 8 because Mosaic HBM slices must align to the
@@ -240,7 +241,8 @@ def rasterize_pallas(
 
     kernel = _make_kernel(
         num_tiles_x=tx_tiles,
-        tile_size=ts,
+        tile_w=tw,
+        tile_h=th,
         eps=config.transmittance_eps,
         cq=cq,
         group_skip=config.group_skip,
@@ -268,7 +270,7 @@ def rasterize_pallas(
     )(ranges, w_all)
 
     # reassemble tiles -> image, composite background over final transmittance
-    img = tiles.reshape(ty_tiles, tx_tiles, 4, ts, ts)
-    img = img.transpose(0, 3, 1, 4, 2).reshape(ty_tiles * ts, tx_tiles * ts, 4)
+    img = tiles.reshape(ty_tiles, tx_tiles, 4, th, tw)
+    img = img.transpose(0, 3, 1, 4, 2).reshape(ty_tiles * th, tx_tiles * tw, 4)
     img = img[:height, :width]
     return img[:, :, :3] + img[:, :, 3:4] * background[None, None, :]

@@ -62,7 +62,7 @@ def rasterize_xla(
     config: RasterConfig,
 ):
     """-> (H, W, 3) f32 image."""
-    ts = config.tile_size
+    tw, th = config.tile_w, config.tile_h
     tx_tiles, ty_tiles = config.tiles_for(width, height)
     num_tiles = tx_tiles * ty_tiles
     kmax = config.xla_max_per_tile
@@ -70,9 +70,9 @@ def rasterize_xla(
     w0, w1, w2, w3, w4 = sorted_payload
     m = w0.shape[0]
 
-    # pixel centers for one tile (ts*ts,)
-    ty_ix = jnp.arange(ts * ts) // ts
-    tx_ix = jnp.arange(ts * ts) % ts
+    # pixel centers for one tile (tw*th,)
+    ty_ix = jnp.arange(tw * th) // tw
+    tx_ix = jnp.arange(tw * th) % tw
 
     def tile_image(t):
         start = ranges[t]
@@ -82,8 +82,8 @@ def rasterize_xla(
         px_c, py_c, ha, bb, hc, op, r, g, b_col = packing.unpack_record(
             w0[idx], w1[idx], w2[idx], w3[idx], w4[idx], cq
         )
-        tile_x = (t % tx_tiles) * ts
-        tile_y = (t // tx_tiles) * ts
+        tile_x = (t % tx_tiles) * tw
+        tile_y = (t // tx_tiles) * th
         pix_x = (tile_x + tx_ix).astype(jnp.float32) + 0.5  # (P,)
         pix_y = (tile_y + ty_ix).astype(jnp.float32) + 0.5
         alpha = splat_alpha(
@@ -100,6 +100,6 @@ def rasterize_xla(
         return img  # (P, 3)
 
     tiles = jax.vmap(tile_image)(jnp.arange(num_tiles))  # (T, P, 3)
-    img = tiles.reshape(ty_tiles, tx_tiles, ts, ts, 3)
-    img = img.transpose(0, 2, 1, 3, 4).reshape(ty_tiles * ts, tx_tiles * ts, 3)
+    img = tiles.reshape(ty_tiles, tx_tiles, th, tw, 3)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(ty_tiles * th, tx_tiles * tw, 3)
     return img[:height, :width, :]
