@@ -78,7 +78,10 @@ def _compact_kernel(capacity_pad: int):
         x = jnp.concatenate([key_row, x[1:8]], axis=0)
 
         staged[...] = x
-        off = jnp.minimum(offsets_ref[b], capacity_pad - BLOCK)
+        # offsets are 128-multiples by construction (cumsum of ALIGN-rounded
+        # counts; the clamp bound is a BLOCK multiple) — tell Mosaic so it
+        # accepts the dynamic lane offset against the (8, 128) HBM tiling
+        off = pl.multiple_of(jnp.minimum(offsets_ref[b], capacity_pad - BLOCK), ALIGN)
         copy = pltpu.make_async_copy(staged, out_hbm.at[:, pl.ds(off, BLOCK)], sem)
         copy.start()
         copy.wait()

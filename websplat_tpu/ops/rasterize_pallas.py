@@ -48,6 +48,7 @@ from websplat_tpu.ops import packing
 GROUP = 8  # splats blended per register step (the sublane dimension)
 CHUNK = GROUP * 128  # splats per DMA chunk (fixed by the (8, 128) reshape)
 SEGMENT = 32  # groups per skip-branch (span-edge over-read trimming)
+GROUP_BATCH = 4  # groups whose instruction streams are interleaved for ILP
 
 
 def _f16_vec(bits_u32):
@@ -134,35 +135,61 @@ def _make_kernel(
             # than per-group lax.cond skipping.  Skips happen only at segment
             # granularity (SEGMENT consecutive groups share one branch),
             # which trims the chunk-alignment over-read at span edges.
-            def eval_group(j, state):
+            #
+            # GB groups are evaluated TOGETHER with their instruction streams
+            # interleaved step-by-step: the VPU retires chained vreg ops at
+            # ~0.25/cycle (4-cycle latency) but ~2.3/cycle with 4 independent
+            # streams (measured), and Mosaic does not software-pipeline
+            # across sequentially-emitted groups on its own.  Only the final
+            # carry update (a few (1, P) ops per group) is serial.
+            def eval_groups(j0, gb, state):
                 cr, cg, cb, trans = state
-                sl = lambda x: x[:, j : j + 1]
-                dx = pix_x - sl(cx_g)
-                dy = pix_y - sl(cy_g)
-                a = sl(ha_g) * dx * dx + sl(hb_g) * dx * dy + sl(hc_g) * dy * dy
-                alpha = jnp.minimum(0.99, jnp.exp(-a) * sl(op_g))
-                alpha = jnp.where(a > 2.0 * CUTOFF, 0.0, alpha)
+                sls = [
+                    (lambda x, j=j: x[:, j : j + 1]) for j in range(j0, j0 + gb)
+                ]
+                dx = [pix_x - s(cx_g) for s in sls]
+                dy = [pix_y - s(cy_g) for s in sls]
+                a = [
+                    s(ha_g) * dx[k] * dx[k]
+                    + s(hb_g) * dx[k] * dy[k]
+                    + s(hc_g) * dy[k] * dy[k]
+                    for k, s in enumerate(sls)
+                ]
+                alpha = [
+                    jnp.minimum(0.99, jnp.exp(-a[k]) * s(op_g))
+                    for k, s in enumerate(sls)
+                ]
+                alpha = [
+                    jnp.where(a[k] > 2.0 * CUTOFF, 0.0, alpha[k])
+                    for k in range(gb)
+                ]
                 # pairwise over-composite up the 8 splat rows (log tree):
                 # after 3 levels row 0 holds the whole group's premultiplied
-                # color and transmittance (rolled-in rows beyond the group
-                # wrap around; only row 0 is read)
-                c_r = alpha * sl(r_g)
-                c_g = alpha * sl(g_g)
-                c_b = alpha * sl(b_g)
-                t_l = 1.0 - alpha
-                for k in (1, 2, 4):
-                    roll = functools.partial(pltpu.roll, shift=GROUP - k, axis=0)
-                    c_r = c_r + t_l * roll(c_r)
-                    c_g = c_g + t_l * roll(c_g)
-                    c_b = c_b + t_l * roll(c_b)
-                    t_l = t_l * roll(t_l)
+                # color and transmittance
+                c_r = [alpha[k] * s(r_g) for k, s in enumerate(sls)]
+                c_g = [alpha[k] * s(g_g) for k, s in enumerate(sls)]
+                c_b = [alpha[k] * s(b_g) for k, s in enumerate(sls)]
+                t_l = [1.0 - alpha[k] for k in range(gb)]
+                for k_shift in (1, 2, 4):
+                    roll = functools.partial(
+                        pltpu.roll, shift=GROUP - k_shift, axis=0
+                    )
+                    rolled_r = [roll(c) for c in c_r]
+                    rolled_g = [roll(c) for c in c_g]
+                    rolled_b = [roll(c) for c in c_b]
+                    rolled_t = [roll(t) for t in t_l]
+                    c_r = [c_r[k] + t_l[k] * rolled_r[k] for k in range(gb)]
+                    c_g = [c_g[k] + t_l[k] * rolled_g[k] for k in range(gb)]
+                    c_b = [c_b[k] + t_l[k] * rolled_b[k] for k in range(gb)]
+                    t_l = [t_l[k] * rolled_t[k] for k in range(gb)]
                 row0 = lambda x: x[0:1, :]
-                return (
-                    cr + trans * row0(c_r),
-                    cg + trans * row0(c_g),
-                    cb + trans * row0(c_b),
-                    trans * row0(t_l),
-                )
+                # serial carry across the gb groups (cheap (1, P) ops)
+                for k in range(gb):
+                    cr = cr + trans * row0(c_r[k])
+                    cg = cg + trans * row0(c_g[k])
+                    cb = cb + trans * row0(c_b[k])
+                    trans = trans * row0(t_l[k])
+                return cr, cg, cb, trans
 
             state = (cr, cg, cb, trans)
             n_segments = n_groups // SEGMENT
@@ -171,8 +198,8 @@ def _make_kernel(
 
                 def eval_segment(state=state, j0=j0):
                     s = state
-                    for j in range(j0, j0 + SEGMENT):
-                        s = eval_group(j, s)
+                    for jb in range(j0, j0 + SEGMENT, GROUP_BATCH):
+                        s = eval_groups(jb, GROUP_BATCH, s)
                     return s
 
                 if group_skip:
