@@ -96,3 +96,57 @@ def test_scene_autodiscovery(dataset):
     sub.mkdir(parents=True)
     (sub / "pc.ply").write_bytes(b"ply")
     assert find_scene_file(str(sub / "pc.ply")) == str(dataset / "cameras.json")
+
+
+def test_viewer_smoke(dataset):
+    """Boot the HTTP viewer, poke every endpoint, verify input changes frames."""
+    import json as _json
+    import threading
+    import time
+    import urllib.request
+
+    from http.server import ThreadingHTTPServer
+
+    from websplat_tpu.apps.viewer import ViewerState, make_handler
+    from websplat_tpu.config import RasterConfig
+    from websplat_tpu.io.loader import load_gaussian_cloud
+    from websplat_tpu.models.scene import Scene
+
+    cloud = load_gaussian_cloud(str(dataset / "point_cloud.ply"))
+    scene = Scene.from_json(str(dataset / "cameras.json"))
+    state = ViewerState(cloud, scene, 64, 48, RasterConfig.for_backend())
+    render_thread = threading.Thread(target=state.render_loop, daemon=True)
+    render_thread.start()
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(state))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    def get(path):
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}", timeout=10) as r:
+            return r.read()
+
+    def post(obj):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/input", data=_json.dumps(obj).encode()
+        )
+        urllib.request.urlopen(req, timeout=10).read()
+
+    assert b"websplat-tpu viewer" in get("/")
+    deadline = time.time() + 60
+    while time.time() < deadline and not state.frame_png:
+        time.sleep(0.5)
+    assert state.frame_png, "no frame rendered within 60s"
+    f1 = get("/frame.png")
+    assert f1[:4] == b"\x89PNG"
+    stats = _json.loads(get("/stats"))
+    assert stats["num_visible"] >= 0 and len(stats["cameras"]) == 6
+    post({"type": "rotate", "dx": 40, "dy": 5})
+    post({"type": "setting", "name": "bg", "value": "#ff0000"})
+    post({"type": "snap", "id": 2})
+    post({"type": "save_view"})
+    post({"type": "tracking_shot"})
+    time.sleep(3)
+    assert state.saved_cameras
+    server.shutdown()
+    state.stop = True
+    render_thread.join(timeout=60)

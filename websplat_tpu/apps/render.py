@@ -65,7 +65,7 @@ def main(argv=None):
     args_ns = ap.parse_args(argv)
 
     cloud, scene = load_inputs(args_ns.input, args_ns.scene)
-    cfg = RasterConfig()
+    cfg = RasterConfig.for_backend()
     if args_ns.tile_slots:
         import dataclasses
 

@@ -38,7 +38,7 @@ def main(argv=None):
     cams = [c.to_perspective() for c in scene.cameras()]
     duration = args_ns.duration or 3.0 * len(cams)  # video.rs:71
     shot = TrackingShot(cams)
-    renderer = GaussianRenderer(cloud, RasterConfig())
+    renderer = GaussianRenderer(cloud, RasterConfig.for_backend())
     sargs = SplattingArgs(walltime=100.0)
 
     os.makedirs(args_ns.out, exist_ok=True)

@@ -1,0 +1,334 @@
+"""Interactive browser viewer.
+
+The reference's interactive shell is winit + egui + a wasm/WebGPU web demo
+(/root/reference/src/lib.rs:128-891, src/ui.rs, public/).  Neither stack
+applies to a TPU host, so the viewer is a small HTTP app: the browser shows
+rendered frames and forwards mouse/keyboard input; the host runs the orbit
+controller (models/controller.py) and the TPU renderer.
+
+Feature parity with the reference viewer/UI:
+- orbit / pan / zoom with the mouse (controller.rs semantics)
+- render-stats: FPS + visible-splat count (ui.rs:25-92)
+- live render settings: gaussian scaling, SH degree, background color,
+  kernel size / mip-splatting overrides (ui.rs:94-161)
+- scene camera list with snap-to-view transitions (ui.rs:163-319; 200 ms
+  eased transition, lib.rs:557)
+- T starts a tracking shot through saved/scene cameras, C saves the current
+  view (lib.rs:528-538, 595-610)
+- grow-in animation driven by accumulated walltime (lib.rs:353-355)
+
+Usage: python -m websplat_tpu.apps.viewer INPUT.ply|npz [SCENE.json]
+           [--port 8000] [--width 800 --height 600]
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from websplat_tpu.apps.common import find_scene_file
+from websplat_tpu.config import RasterConfig, SplattingArgs
+from websplat_tpu.io.loader import load_gaussian_cloud
+from websplat_tpu.models.animation import Animation, TrackingShot, Transition
+from websplat_tpu.models.controller import CameraController
+from websplat_tpu.models.camera import PerspectiveCamera, PerspectiveProjection
+from websplat_tpu.models.scene import Scene
+from websplat_tpu.render.renderer import GaussianRenderer
+from websplat_tpu.utils.image import to_u8
+
+PAGE = """<!DOCTYPE html>
+<html><head><title>websplat-tpu viewer</title><style>
+body { margin:0; background:#111; color:#ddd; font-family:monospace; display:flex; }
+#view { cursor:grab; }
+#panel { padding:12px; width:270px; font-size:12px; }
+#panel label { display:block; margin-top:8px; }
+#stats { white-space:pre; color:#8f8; }
+button { margin:2px; }
+</style></head><body>
+<canvas id="view" width="{W}" height="{H}"></canvas>
+<div id="panel">
+  <div id="stats">connecting...</div>
+  <label>gaussian scaling <input type="range" id="scaling" min="0.01" max="1" step="0.01" value="1"></label>
+  <label>max SH degree <input type="range" id="shdeg" min="0" max="3" step="1" value="3"></label>
+  <label>background <input type="color" id="bg" value="#000000"></label>
+  <label><input type="checkbox" id="mip"> mip splatting</label>
+  <label>kernel size <input type="range" id="kernel" min="0" max="0.5" step="0.01" value="0.3"></label>
+  <div id="cameras"></div>
+  <button onclick="post({type:'tracking_shot'})">tracking shot (T)</button>
+  <button onclick="post({type:'save_view'})">save view (C)</button>
+</div>
+<script>
+const cv = document.getElementById('view'), ctx = cv.getContext('2d');
+let drag = null;
+function post(o) { fetch('/input', {method:'POST', body: JSON.stringify(o)}); }
+cv.onmousedown = e => { drag = {x:e.clientX, y:e.clientY, btn:e.button}; e.preventDefault(); };
+window.onmouseup = () => drag = null;
+window.onmousemove = e => {
+  if (!drag) return;
+  post({type: drag.btn === 2 ? 'pan' : 'rotate', dx: e.clientX-drag.x, dy: e.clientY-drag.y});
+  drag = {x:e.clientX, y:e.clientY, btn:drag.btn};
+};
+cv.oncontextmenu = e => e.preventDefault();
+cv.onwheel = e => { post({type:'zoom', dy: e.deltaY/100}); e.preventDefault(); };
+window.onkeydown = e => {
+  if (e.key === 't') post({type:'tracking_shot'});
+  else if (e.key === 'c') post({type:'save_view'});
+  else post({type:'key', key:e.key, pressed:true});
+};
+window.onkeyup = e => post({type:'key', key:e.key, pressed:false});
+for (const id of ['scaling','shdeg','kernel']) {
+  document.getElementById(id).oninput = e => post({type:'setting', name:id, value:parseFloat(e.target.value)});
+}
+document.getElementById('bg').oninput = e => post({type:'setting', name:'bg', value:e.target.value});
+document.getElementById('mip').onchange = e => post({type:'setting', name:'mip', value:e.target.checked});
+async function loop() {
+  while (true) {
+    const t0 = performance.now();
+    const r = await fetch('/frame.png?t=' + t0);
+    const blob = await r.blob();
+    const img = await createImageBitmap(blob);
+    ctx.drawImage(img, 0, 0);
+    const s = await (await fetch('/stats')).json();
+    document.getElementById('stats').textContent =
+      `fps ${s.fps.toFixed(1)}\\nvisible ${s.num_visible}\\ninstances ${s.num_instances}`;
+    const cams = document.getElementById('cameras');
+    if (cams.childElementCount === 0 && s.cameras) {
+      for (const c of s.cameras) {
+        const b = document.createElement('button');
+        b.textContent = c.split + ' ' + c.id;
+        b.onclick = () => post({type:'snap', id:c.id});
+        cams.appendChild(b);
+      }
+    }
+  }
+}
+loop();
+</script></body></html>
+"""
+
+
+class ViewerState:
+    def __init__(self, cloud, scene, width, height, config):
+        self.cloud = cloud
+        self.scene = scene
+        self.width = width
+        self.height = height
+        self.renderer = GaussianRenderer(cloud, config)
+        self.controller = CameraController(speed=1.0, sensitivity=1.0)
+        self.lock = threading.Lock()
+        self.settings = dict(
+            gaussian_scaling=1.0, max_sh_deg=cloud.sh_deg, mip=None, kernel=None,
+            bg=(0.0, 0.0, 0.0),
+        )
+        self.walltime = 0.0
+        self.animation = None
+        self.saved_cameras = []
+        self.fps = 0.0
+        self.frame_png = b""
+        self.stop = False
+        if scene is not None and scene.num_cameras() > 0:
+            self.camera = scene.cameras()[0].to_perspective()
+            # controller center from mean camera look-at (lib.rs:507-526)
+            self.controller.center = np.asarray(cloud.center, np.float64)
+            if cloud.up is not None:
+                self.controller.up = np.asarray(cloud.up, np.float64)
+        else:
+            self.camera = PerspectiveCamera.default()
+            c = cloud.bbox_center()
+            r = max(cloud.bbox_radius(), 1e-3)
+            self.camera.position = (c + np.array([0, 0, -2.5 * r])).astype(np.float32)
+            self.controller.center = np.asarray(c, np.float64)
+        self.controller.reset_to_camera(self.camera)
+
+    def snap_to(self, cam_id):
+        sc = self.scene.camera(cam_id) if self.scene else None
+        if sc is None:
+            return
+        target = sc.to_perspective()
+        with self.lock:
+            # 200 ms eased transition (lib.rs:557)
+            self.animation = Animation(
+                duration=0.2, looping=False, sampler=Transition(self.camera, target)
+            )
+
+    def start_tracking_shot(self):
+        cams = self.saved_cameras or (
+            [c.to_perspective() for c in self.scene.cameras()] if self.scene else []
+        )
+        if len(cams) < 2:
+            return
+        with self.lock:
+            self.animation = Animation(
+                duration=2.0 * len(cams), looping=True, sampler=TrackingShot(cams)
+            )
+
+    def render_loop(self):
+        last = time.perf_counter()
+        while not self.stop:
+            now = time.perf_counter()
+            dt = now - last
+            last = now
+            with self.lock:
+                self.walltime = min(self.walltime + dt, 5.0)  # lib.rs:353-355
+                if self.animation is not None:
+                    self.camera = self.animation.update(dt)
+                    if self.animation.done():
+                        self.animation = None
+                        self.controller.reset_to_camera(self.camera)
+                else:
+                    # clamp dt: the reference's controller integrates with
+                    # per-frame dt and assumes interactive frame rates; a
+                    # slow (CPU) frame would otherwise explode the orbit
+                    self.controller.update_camera(self.camera, min(dt, 0.1))
+                s = dict(self.settings)
+                cam = self.camera
+            args = SplattingArgs(
+                gaussian_scaling=s["gaussian_scaling"],
+                max_sh_deg=int(s["max_sh_deg"]),
+                mip_splatting=s["mip"],
+                kernel_size=s["kernel"],
+                walltime=self.walltime,
+                background_color=tuple(s["bg"]),
+            )
+            img = self.renderer.render(
+                cam, (self.width, self.height), args, with_diag=True
+            )
+            tmp = io.BytesIO()
+            _encode_png_bytes(tmp, to_u8(img))
+            self.frame_png = tmp.getvalue()
+            frame_t = time.perf_counter() - now
+            self.fps = 0.95 * self.fps + 0.05 * (1.0 / max(frame_t, 1e-6))
+
+
+def _encode_png_bytes(f, img_u8):
+    import struct
+    import zlib
+
+    h, w, c = img_u8.shape
+    color_type = 2 if c == 3 else 6
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    f.write(b"\x89PNG\r\n\x1a\n")
+    f.write(chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)))
+    raw = b"".join(b"\x00" + img_u8[y].tobytes() for y in range(h))
+    f.write(chunk(b"IDAT", zlib.compress(raw, 1)))
+    f.write(chunk(b"IEND", b""))
+
+
+def make_handler(state: ViewerState):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _send(self, code, body, ctype="text/html"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Cache-Control", "no-store")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path.startswith("/frame.png"):
+                self._send(200, state.frame_png or b"", "image/png")
+            elif self.path.startswith("/stats"):
+                diag = state.renderer._last_diag or {}
+                cams = [
+                    dict(id=c.id, split=c.split.value)
+                    for c in (state.scene.cameras() if state.scene else [])
+                ]
+                body = json.dumps(
+                    dict(
+                        fps=state.fps,
+                        num_visible=int(diag.get("num_visible", 0)),
+                        num_instances=int(diag.get("num_instances", 0)),
+                        cameras=cams,
+                    )
+                ).encode()
+                self._send(200, body, "application/json")
+            else:
+                page = PAGE.replace("{W}", str(state.width)).replace(
+                    "{H}", str(state.height)
+                )
+                self._send(200, page.encode())
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            msg = json.loads(self.rfile.read(n) or b"{}")
+            t = msg.get("type")
+            ctl = state.controller
+            if t == "rotate":
+                ctl.left_mouse_pressed = True
+                ctl.process_mouse(float(msg["dx"]), float(msg["dy"]))
+                ctl.left_mouse_pressed = False
+            elif t == "pan":
+                ctl.right_mouse_pressed = True
+                ctl.process_mouse(float(msg["dx"]), float(msg["dy"]))
+                ctl.right_mouse_pressed = False
+            elif t == "zoom":
+                ctl.process_scroll(float(msg["dy"]))
+            elif t == "key":
+                ctl.process_keyboard(str(msg.get("key", "")), bool(msg.get("pressed")))
+            elif t == "setting":
+                name, value = msg["name"], msg["value"]
+                with state.lock:
+                    if name == "scaling":
+                        state.settings["gaussian_scaling"] = float(value)
+                    elif name == "shdeg":
+                        state.settings["max_sh_deg"] = int(value)
+                    elif name == "kernel":
+                        state.settings["kernel"] = float(value)
+                    elif name == "mip":
+                        state.settings["mip"] = bool(value)
+                    elif name == "bg":
+                        v = value.lstrip("#")
+                        state.settings["bg"] = tuple(
+                            int(v[i : i + 2], 16) / 255.0 for i in (0, 2, 4)
+                        )
+            elif t == "snap":
+                state.snap_to(int(msg["id"]))
+            elif t == "tracking_shot":
+                state.start_tracking_shot()
+            elif t == "save_view":
+                with state.lock:
+                    state.saved_cameras.append(state.camera)
+            self._send(200, b"{}", "application/json")
+
+    return Handler
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("input")
+    ap.add_argument("scene", nargs="?", default=None)
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--width", type=int, default=800)
+    ap.add_argument("--height", type=int, default=600)
+    args_ns = ap.parse_args(argv)
+
+    cloud = load_gaussian_cloud(args_ns.input)
+    scene_path = args_ns.scene or find_scene_file(args_ns.input)
+    scene = Scene.from_json(scene_path) if scene_path else None
+    state = ViewerState(cloud, scene, args_ns.width, args_ns.height, RasterConfig.for_backend())
+
+    threading.Thread(target=state.render_loop, daemon=True).start()
+    server = ThreadingHTTPServer(("127.0.0.1", args_ns.port), make_handler(state))
+    print(f"viewer at http://127.0.0.1:{args_ns.port}/  ({cloud.num_points} splats)")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -30,11 +30,11 @@ class RasterConfig:
     """
 
     # Screen tile dimensions in pixels.  tile_w * tile_h must be a multiple
-    # of 128 (the VPU lane count); 16x8 = 128 px makes every blend op exactly
-    # one vector register, which matters because the rasterizer is
-    # issue-rate bound.
+    # of 128 (the VPU lane count).  16x16 measured fastest at bonsai scale:
+    # smaller tiles amplify the 1024-instance chunk over-read, larger ones
+    # waste per-splat pixel work.
     tile_w: int = 16
-    tile_h: int = 8
+    tile_h: int = 16
 
     # Maximum number of tile instances each splat may emit during binning
     # (the sort size is N * tile_slots).  Splats whose screen-space extent
@@ -59,7 +59,7 @@ class RasterConfig:
     # which is what makes large slot budgets affordable.  The compacted
     # capacity is ceil(instance_capacity_factor * N); overflow instances are
     # dropped and reported in the render diagnostics.
-    compact: bool = False
+    compact: bool = True
     instance_capacity_factor: float = 2.5
 
     # Sort backend: "xla" (lax.sort) or "pallas" (custom streaming sort).
@@ -71,6 +71,19 @@ class RasterConfig:
     # Static cap on per-tile splat count used ONLY by the XLA fallback
     # rasterizer (the Pallas kernel has no cap; it loops the true range).
     xla_max_per_tile: int = 2048
+
+    @classmethod
+    def for_backend(cls, **overrides) -> "RasterConfig":
+        """Defaults adjusted to the active JAX backend: off-TPU, the Pallas
+        kernels only run in the (slow) interpreter, so the XLA fallbacks are
+        the right choice for interactive use."""
+        import jax
+
+        if jax.default_backend() != "tpu":
+            overrides.setdefault("raster_backend", "xla")
+            overrides.setdefault("compact", False)
+            overrides.setdefault("xla_max_per_tile", 512)
+        return cls(**overrides)
 
     def tiles_for(self, width: int, height: int) -> Tuple[int, int]:
         return (-(-width // self.tile_w), -(-height // self.tile_h))
