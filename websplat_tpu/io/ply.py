@@ -85,6 +85,41 @@ def parse_header(f: BinaryIO) -> PlyHeader:
             return h
 
 
+def _try_native_decode(raw, props, num_points, num_sh_coefs, byte_order):
+    """Route the standard INRIA all-f32 layout through the multithreaded C++
+    decoder (websplat_tpu/native); returns None when the layout is unusual
+    or the native library is unavailable."""
+    if any(t not in ("float", "float32") for _, t in props):
+        return None
+    names = [name for name, _ in props]
+    try:
+        off = {k: names.index(k) for k in ("x", "f_dc_0", "opacity", "scale_0", "rot_0")}
+    except ValueError:
+        return None
+    rest = num_sh_coefs - 1
+    if rest > 0:
+        if "f_rest_0" not in names:
+            return None
+        off_rest = names.index("f_rest_0")
+    else:
+        off_rest = off["f_dc_0"] + 3  # unused
+    from websplat_tpu import native
+
+    return native.decode_ply_native(
+        raw,
+        stride_f32=len(names),
+        off_pos=off["x"],
+        off_dc=off["f_dc_0"],
+        off_rest=off_rest,
+        off_opacity=off["opacity"],
+        off_scale=off["scale_0"],
+        off_rot=off["rot_0"],
+        n_coefs=num_sh_coefs,
+        big_endian=(byte_order == ">"),
+        n_points=num_points,
+    )
+
+
 def _comment_value(comments: List[str], key: str) -> Optional[str]:
     # Reference matches by substring containment and splits on the last '='
     # (/root/reference/src/io/ply.rs:123-138).
@@ -113,6 +148,27 @@ def read_ply(f: BinaryIO) -> Dict:
     sh_deg = sh_deg_from_num_coefs(num_sh_coefs)
     if sh_deg is None:
         raise ValueError(f"invalid number of sh coefficients: {num_sh_coefs * 3}")
+
+    native = _try_native_decode(raw, props, num_points, num_sh_coefs, byte_order)
+    if native is not None:
+        xyz, opacity16, cov16, sh16 = native
+        mip = _comment_value(header.comments, "mip")
+        kernel = _comment_value(header.comments, "kernel_size")
+        bg = _comment_value(header.comments, "background_color")
+        return dict(
+            xyz=xyz,
+            opacity=opacity16,
+            cov=cov16,
+            sh=sh16,
+            sh_deg=int(sh_deg),
+            num_points=int(num_points),
+            mip_splatting=(mip.strip().lower() == "true") if mip is not None else None,
+            kernel_size=float(kernel) if kernel is not None else None,
+            background_color=(
+                tuple(float(v) for v in bg.split(",")[:3]) if bg is not None else None
+            ),
+            compressed=False,
+        )
 
     xyz = np.stack([data["x"], data["y"], data["z"]], axis=1).astype(np.float32)
 
