@@ -87,18 +87,41 @@ def main():
                          config=config)
         return pre.keys[::65536].astype(jnp.float32).sum()
 
-    def stage_sort(dc, dcam, dset, salt=0):
+    def _compacted(dc, dcam, dset, salt):
         pre = preprocess(dc, salted(dcam, salt), dset, width=width, height=height,
                          config=config)
-        sk, sp = sort_instances(pre.keys, pre.payload, backend=config.sort_backend)
+        if config.compact:
+            from websplat_tpu.ops.compact_pallas import compact_instances
+
+            cap = max(4096, int(config.instance_capacity_factor * dc.xyz.shape[0]))
+            k, p, _, _ = compact_instances(pre.keys, pre.payload, capacity=cap)
+            return k, p
+        return pre.keys, pre.payload
+
+    def stage_compact(dc, dcam, dset, salt=0):
+        k, p = _compacted(dc, dcam, dset, salt)
+        return k[::65536].astype(jnp.float32).sum()
+
+    def stage_sort(dc, dcam, dset, salt=0):
+        k, p = _compacted(dc, dcam, dset, salt)
+        sk, sp = sort_instances(k, p, backend=config.sort_backend)
         return sk[::65536].astype(jnp.float32).sum()
 
     def stage_ranges(dc, dcam, dset, salt=0):
-        pre = preprocess(dc, salted(dcam, salt), dset, width=width, height=height,
-                         config=config)
-        sk, sp = sort_instances(pre.keys, pre.payload, backend=config.sort_backend)
+        k, p = _compacted(dc, dcam, dset, salt)
+        sk, sp = sort_instances(k, p, backend=config.sort_backend)
         r = tile_ranges(sk, tx * ty, depth_bits)
         return r.astype(jnp.float32).sum()
+
+    def stage_gm(dc, dcam, dset, salt=0):
+        from websplat_tpu.ops.rasterize_pallas import _group_major
+
+        k, p = _compacted(dc, dcam, dset, salt)
+        sk, sp = sort_instances(k, p, backend=config.sort_backend)
+        r = tile_ranges(sk, tx * ty, depth_bits)
+        gm = tuple(_group_major(w) for w in sp)
+        w_all = jnp.stack(gm + tuple(jnp.zeros_like(gm[0]) for _ in range(3)), axis=0)
+        return w_all[:, ::65536].astype(jnp.float32).sum() + r.astype(jnp.float32).sum()
 
     def stage_full(dc, dcam, dset, bg, salt=0):
         from websplat_tpu.render.renderer import render_frame_impl
@@ -108,15 +131,20 @@ def main():
         return img[::256, ::256].sum()
 
     t_pre = timed(stage_pre, dc, dcam, dset)
+    t_cmp = timed(stage_compact, dc, dcam, dset)
     t_sort = timed(stage_sort, dc, dcam, dset)
     t_rng = timed(stage_ranges, dc, dcam, dset)
+    t_gm = timed(stage_gm, dc, dcam, dset)
     t_full = timed(stage_full, dc, dcam, dset, bg)
     print(f"backend={jax.default_backend()} n={n} {width}x{height} "
-          f"slots={config.tile_slots} sort={config.sort_backend}")
+          f"slots={config.tile_slots} sort={config.sort_backend} "
+          f"compact={config.compact}")
     print(f"preprocess            : {t_pre:8.2f} ms")
-    print(f"+ sort                : {t_sort:8.2f} ms  (sort ~ {t_sort - t_pre:.2f})")
+    print(f"+ compaction          : {t_cmp:8.2f} ms  (compact ~ {t_cmp - t_pre:.2f})")
+    print(f"+ sort                : {t_sort:8.2f} ms  (sort ~ {t_sort - t_cmp:.2f})")
     print(f"+ tile ranges         : {t_rng:8.2f} ms  (ranges ~ {t_rng - t_sort:.2f})")
-    print(f"full frame            : {t_full:8.2f} ms  (raster ~ {t_full - t_rng:.2f})")
+    print(f"+ group-major + stack : {t_gm:8.2f} ms  (gm ~ {t_gm - t_rng:.2f})")
+    print(f"full frame            : {t_full:8.2f} ms  (raster ~ {t_full - t_gm:.2f})")
 
 
 if __name__ == "__main__":

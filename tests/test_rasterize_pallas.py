@@ -11,7 +11,7 @@ from websplat_tpu.render.renderer import GaussianRenderer
 from websplat_tpu.utils.image import psnr
 from tests.synth import make_camera, make_cloud
 
-W, H = 96, 64
+W, H = 64, 32  # tiny: interpret-mode Pallas is slow
 
 
 def _render(cloud, cam, args, backend, **cfg_kw):
@@ -21,7 +21,7 @@ def _render(cloud, cam, args, backend, **cfg_kw):
 
 
 def test_pallas_matches_xla(rng):
-    cloud = make_cloud(rng, n=250)
+    cloud = make_cloud(rng, n=120)
     cam = make_camera(viewport=(W, H))
     args = SplattingArgs(background_color=(0.2, 0.1, 0.4))
     (img_p, _), _ = _render(cloud, cam, args, "pallas"), None
@@ -34,7 +34,7 @@ def test_pallas_matches_xla(rng):
 
 
 def test_pallas_matches_oracle(rng):
-    cloud = make_cloud(rng, n=250)
+    cloud = make_cloud(rng, n=120)
     cam = make_camera(viewport=(W, H))
     args = SplattingArgs()
     (img_p, r), _ = _render(cloud, cam, args, "pallas"), None
@@ -57,7 +57,7 @@ def test_pallas_empty_scene(rng):
 
 def test_pallas_early_exit_consistency(rng):
     """Opaque overlapping splats: early exit (eps=1e-4) vs exact (eps=0)."""
-    cloud = make_cloud(rng, n=300, opacity_logit_range=(3.0, 5.0))
+    cloud = make_cloud(rng, n=150, opacity_logit_range=(3.0, 5.0))
     cam = make_camera(viewport=(W, H))
     args = SplattingArgs()
     (img_fast, _), _ = _render(cloud, cam, args, "pallas", transmittance_eps=1e-4), None

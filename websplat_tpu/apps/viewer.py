@@ -62,6 +62,7 @@ button { margin:2px; }
   <div id="cameras"></div>
   <button onclick="post({type:'tracking_shot'})">tracking shot (T)</button>
   <button onclick="post({type:'save_view'})">save view (C)</button>
+  <button onclick="post({type:'reload'})">reload (alt+R)</button>
 </div>
 <script>
 const cv = document.getElementById('view'), ctx = cv.getContext('2d');
@@ -79,6 +80,7 @@ cv.onwheel = e => { post({type:'zoom', dy: e.deltaY/100}); e.preventDefault(); }
 window.onkeydown = e => {
   if (e.key === 't') post({type:'tracking_shot'});
   else if (e.key === 'c') post({type:'save_view'});
+  else if (e.key === 'r' && e.altKey) post({type:'reload'});
   else post({type:'key', key:e.key, pressed:true});
 };
 window.onkeyup = e => post({type:'key', key:e.key, pressed:false});
@@ -114,9 +116,13 @@ loop();
 
 
 class ViewerState:
-    def __init__(self, cloud, scene, width, height, config):
+    def __init__(self, cloud, scene, width, height, config, input_path=None,
+                 cameras_save_path=None):
         self.cloud = cloud
         self.scene = scene
+        self.input_path = input_path
+        self.cameras_save_path = cameras_save_path
+        self.config = config
         self.width = width
         self.height = height
         self.renderer = GaussianRenderer(cloud, config)
@@ -145,6 +151,34 @@ class ViewerState:
             self.camera.position = (c + np.array([0, 0, -2.5 * r])).astype(np.float32)
             self.controller.center = np.asarray(c, np.float64)
         self.controller.reset_to_camera(self.camera)
+
+    def reload(self):
+        """Hot reload of the point cloud from disk (Alt+R, lib.rs:296-312)."""
+        if not self.input_path:
+            return
+        cloud = load_gaussian_cloud(self.input_path)
+        renderer = GaussianRenderer(cloud, self.config)
+        with self.lock:
+            self.cloud = cloud
+            self.renderer = renderer
+            self.walltime = 0.0  # grow-in restarts like the reference reload
+
+    def save_views(self):
+        """Persist saved cameras as a cameras.json-compatible list — the
+        reference stubs this (cameras_save_path exists but is never written,
+        lib.rs:154-155,284-285)."""
+        if not self.cameras_save_path:
+            return
+        from websplat_tpu.models.scene import SceneCamera, Split
+
+        entries = [
+            SceneCamera.from_perspective(
+                c, f"saved_{i:03d}", i, (self.width, self.height), Split.TRAIN
+            ).to_json_dict()
+            for i, c in enumerate(self.saved_cameras)
+        ]
+        with open(self.cameras_save_path, "w") as f:
+            json.dump(entries, f, indent=1)
 
     def snap_to(self, cam_id):
         sc = self.scene.camera(cam_id) if self.scene else None
@@ -305,6 +339,9 @@ def make_handler(state: ViewerState):
             elif t == "save_view":
                 with state.lock:
                     state.saved_cameras.append(state.camera)
+                state.save_views()
+            elif t == "reload":
+                state.reload()
             self._send(200, b"{}", "application/json")
 
     return Handler
@@ -317,12 +354,17 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--width", type=int, default=800)
     ap.add_argument("--height", type=int, default=600)
+    ap.add_argument("--save-cameras", default=None,
+                    help="write saved views (C key) to this cameras.json")
     args_ns = ap.parse_args(argv)
 
     cloud = load_gaussian_cloud(args_ns.input)
     scene_path = args_ns.scene or find_scene_file(args_ns.input)
     scene = Scene.from_json(scene_path) if scene_path else None
-    state = ViewerState(cloud, scene, args_ns.width, args_ns.height, RasterConfig.for_backend())
+    state = ViewerState(
+        cloud, scene, args_ns.width, args_ns.height, RasterConfig.for_backend(),
+        input_path=args_ns.input, cameras_save_path=args_ns.save_cameras,
+    )
 
     threading.Thread(target=state.render_loop, daemon=True).start()
     server = ThreadingHTTPServer(("127.0.0.1", args_ns.port), make_handler(state))

@@ -45,46 +45,80 @@ BLOCK = 4096  # instances (lanes) per grid step
 ALIGN = 128  # HBM lane tile: per-block output offsets stay 128-aligned
 
 
-def _compact_kernel(capacity_pad: int):
+STREAMS = 2  # sub-blocks shuffled with interleaved instruction streams (ILP)
+
+
+def _compact_kernel(capacity_pad: int, n_pairs: int):
     n_steps = int(np.log2(BLOCK))
 
-    def kernel(offsets_ref, in_ref, out_hbm, staged, sem):
+    def kernel(offsets_ref, in_ref, out_hbm, staged, sems):
         b = pl.program_id(0)
-        x = in_ref[...]  # (8, BLOCK) u32; row 0 = key, row 6 = scratch
+
+        def clamped_off(i):
+            # offsets are 128-multiples by construction (cumsum of
+            # ALIGN-rounded counts; the clamp bound is a BLOCK multiple) —
+            # tell Mosaic so it accepts the dynamic lane offset against the
+            # (8, 128) HBM tiling
+            return pl.multiple_of(
+                jnp.minimum(offsets_ref[i], capacity_pad - BLOCK), ALIGN
+            )
+
+        def out_copy(slot, block_idx):
+            return pltpu.make_async_copy(
+                staged.at[slot],
+                out_hbm.at[:, pl.ds(clamped_off(block_idx), BLOCK)],
+                sems.at[slot],
+            )
+
+        # wait for the previous grid step's output DMAs before reusing the
+        # staging buffers (overlaps the stores with this step's compute)
+        @pl.when(b > 0)
+        def _():
+            for s in range(STREAMS):
+                out_copy(s, (b - 1) * STREAMS + s).wait()
 
         lane = lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)
-        invalid = (x[0:1, :] == INVALID_KEY).astype(jnp.int32)
+        # STREAMS independent sub-blocks, ops emitted step-interleaved: the
+        # VPU retires chained vreg ops at ~0.25/cycle but >2/cycle given
+        # independent streams (measured), and each shuffle step is a serial
+        # dependency chain
+        xs = [in_ref[:, s * BLOCK : (s + 1) * BLOCK] for s in range(STREAMS)]
+        invalids = [(x[0:1, :] == INVALID_KEY).astype(jnp.int32) for x in xs]
 
         # exclusive prefix count of invalid lanes
-        pre = invalid
+        pres = list(invalids)
         for k in [1 << i for i in range(n_steps)]:
-            pre = pre + jnp.where(lane >= k, pltpu.roll(pre, shift=k, axis=1), 0)
-        shift = pre - invalid  # (1, BLOCK) exclusive
+            rolled = [pltpu.roll(p, shift=k, axis=1) for p in pres]
+            pres = [
+                p + jnp.where(lane >= k, r, 0) for p, r in zip(pres, rolled)
+            ]
+        shifts = [p - inv for p, inv in zip(pres, invalids)]
 
         # stash the shift in scratch row 6 so it travels with the lanes
-        x = jnp.concatenate([x[0:6], shift.astype(jnp.uint32), x[7:8]], axis=0)
+        xs = [
+            jnp.concatenate([x[0:6], s.astype(jnp.uint32), x[7:8]], axis=0)
+            for x, s in zip(xs, shifts)
+        ]
 
         # bit-serial monotone left-shuffle (LSB first)
         for bit in range(n_steps):
             k = 1 << bit
-            rolled = pltpu.roll(x, shift=BLOCK - k, axis=1)  # lane f <- f+k
-            arrive = (rolled[6:7, :] & np.uint32(k)) != 0
-            x = jnp.where(arrive, rolled, x)
+            rolled = [pltpu.roll(x, shift=BLOCK - k, axis=1) for x in xs]
+            arrives = [(r[6:7, :] & np.uint32(k)) != 0 for r in rolled]
+            xs = [jnp.where(a, r, x) for a, r, x in zip(arrives, rolled, xs)]
 
         # sentinel-fill the pad lanes between v_b and the 128-aligned count
         # (leftover shuffle copies there could masquerade as valid keys)
-        v = jnp.sum(1 - invalid)
-        key_row = jnp.where(lane >= v, jnp.uint32(INVALID_KEY), x[0:1, :])
-        x = jnp.concatenate([key_row, x[1:8]], axis=0)
+        for s in range(STREAMS):
+            v = jnp.sum(1 - invalids[s])
+            key_row = jnp.where(lane >= v, jnp.uint32(INVALID_KEY), xs[s][0:1, :])
+            staged[s] = jnp.concatenate([key_row, xs[s][1:8]], axis=0)
+            out_copy(s, b * STREAMS + s).start()
 
-        staged[...] = x
-        # offsets are 128-multiples by construction (cumsum of ALIGN-rounded
-        # counts; the clamp bound is a BLOCK multiple) — tell Mosaic so it
-        # accepts the dynamic lane offset against the (8, 128) HBM tiling
-        off = pl.multiple_of(jnp.minimum(offsets_ref[b], capacity_pad - BLOCK), ALIGN)
-        copy = pltpu.make_async_copy(staged, out_hbm.at[:, pl.ds(off, BLOCK)], sem)
-        copy.start()
-        copy.wait()
+        @pl.when(b == n_pairs - 1)
+        def _():
+            for s in range(STREAMS):
+                out_copy(s, b * STREAMS + s).wait()
 
     return kernel
 
@@ -104,8 +138,9 @@ def compact_instances(
     per source block) and sentinels elsewhere.
     """
     m = keys.shape[0]
-    if m % BLOCK != 0:
-        pad = -(-m // BLOCK) * BLOCK - m
+    pair = BLOCK * STREAMS
+    if m % pair != 0:
+        pad = -(-m // pair) * pair - m
         keys = jnp.concatenate([keys, jnp.full((pad,), INVALID_KEY, jnp.uint32)])
         payload = tuple(
             jnp.concatenate([w, jnp.zeros((pad,), jnp.uint32)]) for w in payload
@@ -113,6 +148,7 @@ def compact_instances(
         m += pad
     capacity_pad = -(-capacity // BLOCK) * BLOCK + BLOCK
     n_blocks = m // BLOCK
+    n_pairs = n_blocks // STREAMS
 
     zeros = jnp.zeros_like(keys)
     x = jnp.stack((keys,) + tuple(payload) + (zeros, zeros), axis=0)  # (8, M)
@@ -130,17 +166,19 @@ def compact_instances(
 
     interp = pltpu.InterpretParams() if (interpret or jax.default_backend() != "tpu") else False
     out = pl.pallas_call(
-        _compact_kernel(capacity_pad),
+        _compact_kernel(capacity_pad, n_pairs),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(n_blocks,),
+            grid=(n_pairs,),
             in_specs=[
-                pl.BlockSpec((8, BLOCK), lambda b, offs: (0, b), memory_space=pltpu.VMEM)
+                pl.BlockSpec(
+                    (8, BLOCK * STREAMS), lambda b, offs: (0, b), memory_space=pltpu.VMEM
+                )
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
-                pltpu.VMEM((8, BLOCK), jnp.uint32),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((STREAMS, 8, BLOCK), jnp.uint32),
+                pltpu.SemaphoreType.DMA((STREAMS,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((8, capacity_pad), jnp.uint32),

@@ -260,10 +260,18 @@ def rasterize_pallas(
 
     # (8, M) instance matrix (5 group-major record words + 3 dead rows): the
     # sublane dimension is 8 because Mosaic HBM slices must align to the
-    # (8, 128) tile in both dimensions.
-    gm_payload = tuple(_group_major(w) for w in sorted_payload)
-    w_all = jnp.stack(
-        gm_payload + tuple(jnp.zeros_like(gm_payload[0]) for _ in range(3)), axis=0
+    # (8, 128) tile in both dimensions.  Stack first, then one fused
+    # transpose (measured slightly cheaper than 5 separate ones).
+    m_len = sorted_payload[0].shape[0]
+    big = jnp.stack(
+        tuple(sorted_payload)
+        + tuple(jnp.zeros_like(sorted_payload[0]) for _ in range(3)),
+        axis=0,
+    )
+    w_all = (
+        big.reshape(8, m_len // CHUNK, CHUNK // GROUP, GROUP)
+        .transpose(0, 1, 3, 2)
+        .reshape(8, m_len)
     )
 
     kernel = _make_kernel(
