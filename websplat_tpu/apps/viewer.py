@@ -41,6 +41,7 @@ from websplat_tpu.models.camera import PerspectiveCamera, PerspectiveProjection
 from websplat_tpu.models.scene import Scene
 from websplat_tpu.render.renderer import GaussianRenderer
 from websplat_tpu.utils.image import to_u8
+from websplat_tpu.utils.stopwatch import FrameClock
 
 PAGE = """<!DOCTYPE html>
 <html><head><title>websplat-tpu viewer</title><style>
@@ -54,6 +55,7 @@ button { margin:2px; }
 <canvas id="view" width="{W}" height="{H}"></canvas>
 <div id="panel">
   <div id="stats">connecting...</div>
+  <canvas id="plot" width="260" height="48" style="background:#181818"></canvas>
   <label>gaussian scaling <input type="range" id="scaling" min="0.01" max="1" step="0.01" value="1"></label>
   <label>max SH degree <input type="range" id="shdeg" min="0" max="3" step="1" value="3"></label>
   <label>background <input type="color" id="bg" value="#000000"></label>
@@ -135,7 +137,7 @@ class ViewerState:
         self.walltime = 0.0
         self.animation = None
         self.saved_cameras = []
-        self.fps = 0.0
+        self.clock = FrameClock()
         self.frame_png = b""
         self.stop = False
         if scene is not None and scene.num_cameras() > 0:
@@ -236,8 +238,7 @@ class ViewerState:
             tmp = io.BytesIO()
             _encode_png_bytes(tmp, to_u8(img))
             self.frame_png = tmp.getvalue()
-            frame_t = time.perf_counter() - now
-            self.fps = 0.95 * self.fps + 0.05 * (1.0 / max(frame_t, 1e-6))
+            self.clock.tick()
 
 
 def _encode_png_bytes(f, img_u8):
@@ -286,7 +287,8 @@ def make_handler(state: ViewerState):
                 ]
                 body = json.dumps(
                     dict(
-                        fps=state.fps,
+                        fps=state.clock.fps,
+                        frame_times=[round(t * 1e3, 2) for t in state.clock.history.to_list()[-120:]],
                         num_visible=int(diag.get("num_visible", 0)),
                         num_instances=int(diag.get("num_instances", 0)),
                         cameras=cams,
