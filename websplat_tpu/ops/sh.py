@@ -41,37 +41,46 @@ def eval_sh(sh: jnp.ndarray, dirs: jnp.ndarray, max_sh_deg) -> jnp.ndarray:
     Returns (N, 3) colors including the reference's +0.5 offset
     (preprocess.wgsl:151); clamping to >= 0 happens at the call site
     (preprocess.wgsl:257-258).
+
+    Layout note: all arithmetic runs on channel-split (N,) arrays — ops on
+    (N, 3)-shaped arrays use 3 of 128 VPU lanes.
     """
-    sh = sh.astype(jnp.float32)
-    x = dirs[:, 0:1]
-    y = dirs[:, 1:2]
-    z = dirs[:, 2:3]
-
-    result = SH_C0 * sh[:, 0]
-
-    band1 = -SH_C1 * y * sh[:, 1] + SH_C1 * z * sh[:, 2] - SH_C1 * x * sh[:, 3]
+    flat = sh.reshape(sh.shape[0], 48)
+    x = dirs[:, 0]
+    y = dirs[:, 1]
+    z = dirs[:, 2]
 
     xx, yy, zz = x * x, y * y, z * z
     xy, yz, xz = x * y, y * z, x * z
-    band2 = (
-        SH_C2[0] * xy * sh[:, 4]
-        + SH_C2[1] * yz * sh[:, 5]
-        + SH_C2[2] * (2.0 * zz - xx - yy) * sh[:, 6]
-        + SH_C2[3] * xz * sh[:, 7]
-        + SH_C2[4] * (xx - yy) * sh[:, 8]
-    )
-    band3 = (
-        SH_C3[0] * y * (3.0 * xx - yy) * sh[:, 9]
-        + SH_C3[1] * xy * z * sh[:, 10]
-        + SH_C3[2] * y * (4.0 * zz - xx - yy) * sh[:, 11]
-        + SH_C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy) * sh[:, 12]
-        + SH_C3[4] * x * (4.0 * zz - xx - yy) * sh[:, 13]
-        + SH_C3[5] * z * (xx - yy) * sh[:, 14]
-        + SH_C3[6] * x * (xx - 3.0 * yy) * sh[:, 15]
-    )
 
     deg = jnp.asarray(max_sh_deg)
-    result = result + jnp.where(deg > 0, 1.0, 0.0) * band1
-    result = result + jnp.where(deg > 1, 1.0, 0.0) * band2
-    result = result + jnp.where(deg > 2, 1.0, 0.0) * band3
-    return result + 0.5
+    g1 = jnp.where(deg > 0, 1.0, 0.0)
+    g2 = jnp.where(deg > 1, 1.0, 0.0)
+    g3 = jnp.where(deg > 2, 1.0, 0.0)
+
+    # per-coefficient angular basis values (shared across channels)
+    basis = [
+        jnp.full_like(x, SH_C0),
+        g1 * (-SH_C1) * y,
+        g1 * SH_C1 * z,
+        g1 * (-SH_C1) * x,
+        g2 * SH_C2[0] * xy,
+        g2 * SH_C2[1] * yz,
+        g2 * SH_C2[2] * (2.0 * zz - xx - yy),
+        g2 * SH_C2[3] * xz,
+        g2 * SH_C2[4] * (xx - yy),
+        g3 * SH_C3[0] * y * (3.0 * xx - yy),
+        g3 * SH_C3[1] * xy * z,
+        g3 * SH_C3[2] * y * (4.0 * zz - xx - yy),
+        g3 * SH_C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy),
+        g3 * SH_C3[4] * x * (4.0 * zz - xx - yy),
+        g3 * SH_C3[5] * z * (xx - yy),
+        g3 * SH_C3[6] * x * (xx - 3.0 * yy),
+    ]
+    channels = []
+    for ch in range(3):
+        acc = basis[0] * flat[:, ch].astype(jnp.float32)
+        for c in range(1, 16):
+            acc = acc + basis[c] * flat[:, 3 * c + ch].astype(jnp.float32)
+        channels.append(acc + 0.5)
+    return jnp.stack(channels, axis=-1)

@@ -6,9 +6,10 @@ and decoupled lookback (/root/reference/src/gpu_rs.rs,
 global atomics, no cross-block spinning); a deterministic stable sort does
 the same job:
 
-- backend "xla": ``lax.sort`` (stable, multi-operand) — the baseline.
-- backend "pallas": custom streaming merge sort (websplat_tpu/ops/sort_pallas.py)
-  tuned for u32 keys + payload words, beating lax.sort on large M.
+- backend "xla": ``lax.sort`` (stable, multi-operand).  Measured on v5e:
+  ~2.3 ms per million keys plus ~1.1 ms per million per extra operand —
+  the design carries the packed record *through* the sort because that is
+  ~5x cheaper than gathering it afterwards (row-gather ~5 ms/M).
 
 Tile ranges replace the reference's indirect-draw count: with keys packed as
 (tile << depth_bits | depth), ``searchsorted`` on the tile boundary keys
@@ -31,10 +32,8 @@ def sort_instances(
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, ...]]:
     """Stable-sort instances by the packed u32 key; invalid (0xFFFFFFFF) keys
     land at the end (radix_sort.wgsl:79's padding convention)."""
-    if backend == "pallas":
-        from websplat_tpu.ops.sort_pallas import merge_sort
-
-        return merge_sort(keys, tuple(payload))
+    if backend != "xla":
+        raise ValueError(f"unknown sort backend: {backend!r}")
     out = lax.sort((keys,) + tuple(payload), num_keys=1, is_stable=True)
     return out[0], tuple(out[1:])
 

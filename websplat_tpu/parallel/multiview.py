@@ -110,11 +110,15 @@ def make_view_parallel_renderer(
             total_visible = jax.lax.psum(jnp.sum(nvis), VIEW_AXIS)
             return imgs, total_visible
 
+        # check_vma=False: the per-device body may call pallas_call, whose
+        # out_shape carries no varying-mesh-axes annotation and trips the
+        # static vma check; the specs above fully describe the sharding.
         return jax.shard_map(
             shard_fn,
             mesh=mesh,
             in_specs=(P(), P(VIEW_AXIS), P(), P()),
             out_specs=(P(VIEW_AXIS), P()),
+            check_vma=False,
         )(cloud, cameras, settings, background)
 
     return jax.jit(step)
