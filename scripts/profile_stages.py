@@ -114,13 +114,13 @@ def main():
         return r.astype(jnp.float32).sum()
 
     def stage_gm(dc, dcam, dset, salt=0):
-        from websplat_tpu.ops.rasterize_pallas import _group_major
-
+        # the group-major relayout now happens in-kernel; this stage measures
+        # the remaining (8, M) stack feeding the rasterizer's DMA layout
         k, p = _compacted(dc, dcam, dset, salt)
         sk, sp = sort_instances(k, p, backend=config.sort_backend)
         r = tile_ranges(sk, tx * ty, depth_bits)
-        gm = tuple(_group_major(w) for w in sp)
-        w_all = jnp.stack(gm + tuple(jnp.zeros_like(gm[0]) for _ in range(3)), axis=0)
+        w_all = jnp.stack(
+            sp + tuple(jnp.zeros_like(sp[0]) for _ in range(8 - len(sp))), axis=0)
         return w_all[:, ::65536].astype(jnp.float32).sum() + r.astype(jnp.float32).sum()
 
     def stage_full(dc, dcam, dset, bg, salt=0):
@@ -143,7 +143,7 @@ def main():
     print(f"+ compaction          : {t_cmp:8.2f} ms  (compact ~ {t_cmp - t_pre:.2f})")
     print(f"+ sort                : {t_sort:8.2f} ms  (sort ~ {t_sort - t_cmp:.2f})")
     print(f"+ tile ranges         : {t_rng:8.2f} ms  (ranges ~ {t_rng - t_sort:.2f})")
-    print(f"+ group-major + stack : {t_gm:8.2f} ms  (gm ~ {t_gm - t_rng:.2f})")
+    print(f"+ stack (8, M)        : {t_gm:8.2f} ms  (stack ~ {t_gm - t_rng:.2f})")
     print(f"full frame            : {t_full:8.2f} ms  (raster ~ {t_full - t_gm:.2f})")
 
 

@@ -104,7 +104,9 @@ def test_pipeline_compaction_overflow_drops(rng):
     from websplat_tpu.render.renderer import GaussianRenderer
     from tests.synth import make_camera, make_cloud
 
-    cloud = make_cloud(rng, n=3000)
+    # n must put the instance count above the 4096 minimum capacity floor
+    # (instances ~ visible splats at the default 32x16 tile size)
+    cloud = make_cloud(rng, n=8000)
     cam = make_camera(viewport=(96, 64))
     cfg = RasterConfig(
         raster_backend="xla", tile_slots=16, compact=True, instance_capacity_factor=0.1

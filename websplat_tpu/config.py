@@ -30,10 +30,11 @@ class RasterConfig:
     """
 
     # Screen tile dimensions in pixels.  tile_w * tile_h must be a multiple
-    # of 128 (the VPU lane count).  16x16 measured fastest at bonsai scale:
-    # smaller tiles amplify the 1024-instance chunk over-read, larger ones
-    # waste per-splat pixel work.
-    tile_w: int = 16
+    # of 128 (the VPU lane count).  32x16 measured fastest at bonsai scale
+    # (41.6 vs 46.4 ms/frame at 16x16, 42.8 at 32x32): smaller tiles amplify
+    # the 1024-instance chunk over-read at span edges and raise the instance
+    # count, larger ones waste per-splat pixel work.
+    tile_w: int = 32
     tile_h: int = 16
 
     # Maximum number of tile instances each splat may emit during binning

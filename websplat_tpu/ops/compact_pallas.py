@@ -150,8 +150,13 @@ def compact_instances(
     n_blocks = m // BLOCK
     n_pairs = n_blocks // STREAMS
 
+    n_payload = len(payload)
+    if n_payload > 5:
+        raise ValueError("at most 5 payload words (row 6 is shift scratch)")
     zeros = jnp.zeros_like(keys)
-    x = jnp.stack((keys,) + tuple(payload) + (zeros, zeros), axis=0)  # (8, M)
+    x = jnp.stack(
+        (keys,) + tuple(payload) + (zeros,) * (7 - n_payload), axis=0
+    )  # (8, M): key, payload..., zeros; row 6 doubles as shift scratch
 
     # phase 1: block offsets (XLA)
     valid = (keys != INVALID_KEY).reshape(n_blocks, BLOCK)
@@ -191,5 +196,5 @@ def compact_instances(
     cap_iota = jnp.arange(capacity_pad, dtype=jnp.int32)
     tail = (cap_iota >= jnp.minimum(total, capacity)) | (cap_iota >= capacity)
     out_keys = jnp.where(tail, jnp.uint32(INVALID_KEY), out[0])
-    out_payload = tuple(out[i] for i in range(1, 6))
+    out_payload = tuple(out[i] for i in range(1, 1 + n_payload))
     return out_keys, out_payload, num_valid, num_dropped

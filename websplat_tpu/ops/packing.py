@@ -1,4 +1,4 @@
-"""Packed 20-byte splat record (5 x u32) carried through the sort.
+"""Packed 16-byte splat record (4 x u32) carried through the sort.
 
 The TPU analogue of the reference's 20-byte ``Splat`` wire struct
 (/root/reference/src/pointcloud.rs:352-358: 4xf16 eigenvectors, 2xf16 pos,
@@ -7,16 +7,19 @@ The TPU analogue of the reference's 20-byte ``Splat`` wire struct
   w0: center x | center y           (u16 fixed point, 1/scale px resolution)
   w1: 0.5*conic_xx | conic_xy       (f16)
   w2: 0.5*conic_yy | opacity        (f16)
-  w3: color r | color g             (f16)
-  w4: color b | flags/spare         (f16)
+  w3: color r g b                   (RGB9E5 shared-exponent, bias 15)
 
 The measured reason this format exists: XLA row-gather on TPU runs at
 ~5 ms per million rows, while ``lax.sort`` carries extra u32 operands at
-~0.45 ms per million each — so the record rides through the sort instead of
-being gathered afterwards.
+~0.65 ms per million each (in-frame) — so the record rides through the sort
+instead of being gathered afterwards, and every dropped word is ~2 ms of
+frame time at bonsai scale.
 
-f16 quantization of the conic/color is deliberate parity with the reference,
-which packs the eigenvectors and color as f16 (preprocess.wgsl:264-268).
+f16 quantization of the conic is deliberate parity with the reference, which
+packs the eigenvectors as f16 (preprocess.wgsl:264-268).  Color uses RGB9E5
+(9-bit mantissas, shared 5-bit exponent): clamped-positive SH colors fit its
+[0, 65408] range and its worst-case error (~0.2% of the max channel) sits
+well inside the 0.5 dB PSNR budget vs the reference's f16.
 """
 
 from __future__ import annotations
@@ -88,21 +91,58 @@ def unpack_center(w0: jnp.ndarray, q: CenterQuant) -> Tuple[jnp.ndarray, jnp.nda
     return px, py
 
 
+# RGB9E5 (shared-exponent HDR color): 9-bit mantissas, 5-bit exponent,
+# bias 15.  Encodes non-negative values in [0, 65408].
+RGB9E5_BIAS = 15
+RGB9E5_MANT_BITS = 9
+RGB9E5_MAX = 65408.0  # (511/512) * 2^(31-15)
+
+
+def pack_rgb9e5(r: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Pack three non-negative f32 channels -> one u32 (r | g<<9 | b<<18 | e<<27)."""
+    r = jnp.clip(r, 0.0, RGB9E5_MAX)
+    g = jnp.clip(g, 0.0, RGB9E5_MAX)
+    b = jnp.clip(b, 0.0, RGB9E5_MAX)
+    maxc = jnp.maximum(jnp.maximum(r, g), b)
+    # floor(log2(maxc)) from the f32 exponent field (maxc > 0)
+    bits = lax.bitcast_convert_type(jnp.maximum(maxc, 1e-30), jnp.uint32)
+    floor_log2 = (bits >> 23).astype(jnp.int32) - 127
+    exp_shared = jnp.clip(floor_log2 + RGB9E5_BIAS + 1, 0, 31)
+    # scale = 2^(exp_shared - BIAS - MANT_BITS); biased f32 exponent is
+    # exp_shared - 24 + 127 = exp_shared + 103 (always in (0, 255))
+    scale = lax.bitcast_convert_type(
+        ((exp_shared + 103) << 23).astype(jnp.uint32), jnp.float32
+    )
+    inv = 1.0 / scale
+    mr = jnp.clip(jnp.round(r * inv), 0, 511).astype(jnp.uint32)
+    mg = jnp.clip(jnp.round(g * inv), 0, 511).astype(jnp.uint32)
+    mb = jnp.clip(jnp.round(b * inv), 0, 511).astype(jnp.uint32)
+    return mr | (mg << 9) | (mb << 18) | (exp_shared.astype(jnp.uint32) << 27)
+
+
+def unpack_rgb9e5(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """u32 -> three f32 channels (exact inverse of the encode scale)."""
+    e = (w >> 27).astype(jnp.int32)
+    scale = lax.bitcast_convert_type(((e + 103) << 23).astype(jnp.uint32), jnp.float32)
+    r = (w & jnp.uint32(0x1FF)).astype(jnp.float32) * scale
+    g = ((w >> 9) & jnp.uint32(0x1FF)).astype(jnp.float32) * scale
+    b = ((w >> 18) & jnp.uint32(0x1FF)).astype(jnp.float32) * scale
+    return r, g, b
+
+
 def pack_record(px, py, half_a, b, half_c, opacity, rgb, q: CenterQuant):
-    """-> tuple of 5 (N,) uint32 payload words."""
+    """-> tuple of 4 (N,) uint32 payload words."""
     w0 = pack_center(px, py, q)
     w1 = pack2xf16(half_a, b)
     w2 = pack2xf16(half_c, opacity)
-    w3 = pack2xf16(rgb[:, 0], rgb[:, 1])
-    w4 = pack2xf16(rgb[:, 2], jnp.zeros_like(px))
-    return w0, w1, w2, w3, w4
+    w3 = pack_rgb9e5(rgb[:, 0], rgb[:, 1], rgb[:, 2])
+    return w0, w1, w2, w3
 
 
-def unpack_record(w0, w1, w2, w3, w4, q: CenterQuant):
+def unpack_record(w0, w1, w2, w3, q: CenterQuant):
     """-> (px, py, half_a, b, half_c, opacity, r, g, b_col)."""
     px, py = unpack_center(w0, q)
     half_a, bb = unpack2xf16(w1)
     half_c, opacity = unpack2xf16(w2)
-    r, g = unpack2xf16(w3)
-    b_col, _ = unpack2xf16(w4)
+    r, g, b_col = unpack_rgb9e5(w3)
     return px, py, half_a, bb, half_c, opacity, r, g, b_col

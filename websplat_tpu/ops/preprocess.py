@@ -74,7 +74,7 @@ class DeviceSettings(NamedTuple):
 
 class PreprocessOut(NamedTuple):
     keys: jnp.ndarray  # (M_pad,) uint32 sort keys (tile << depth_bits | depth)
-    payload: Tuple[jnp.ndarray, ...]  # 5 x (M_pad,) uint32 packed records
+    payload: Tuple[jnp.ndarray, ...]  # 4 x (M_pad,) uint32 packed records
     num_visible: jnp.ndarray  # scalar int32 — reference's num_visible_points
     # (renderer.rs:170-189)
     num_clamped: jnp.ndarray  # scalar int32 — splats whose tile rect exceeded
@@ -263,7 +263,7 @@ def preprocess(
     n_rect = w_t * h_t
 
     # --- packed record (shared by all slots of a splat) ---
-    w0, w1, w2, w3, w4 = packing.pack_record(
+    w0, w1, w2, w3 = packing.pack_record(
         px, py, 0.5 * conic_a, conic_b, 0.5 * conic_c, opacity, rgb, cq
     )
 
@@ -320,9 +320,16 @@ def preprocess(
         )
         keys_slots.append(key)
 
-    keys = jnp.stack(keys_slots, axis=1).reshape(-1)  # (N*slots,), splat-major
+    # Slot-MAJOR emission: (slots, N) -> flat.  Order is irrelevant (the
+    # stable sort re-orders everything; equal-key collisions are different
+    # splats in the same tile at the same quantized depth, whose relative
+    # order the reference leaves to GPU scheduling anyway).  Layout matters:
+    # a (N, slots) interleave reshaped flat forces a tiled->linear relayout
+    # scatter in XLA (~10 ms at bonsai scale); (slots, N) -> flat is a plain
+    # row concatenation.
+    keys = jnp.stack(keys_slots, axis=0).reshape(-1)  # (slots*N,)
     payload = tuple(
-        jnp.broadcast_to(w[:, None], (n, slots)).reshape(-1) for w in (w0, w1, w2, w3, w4)
+        jnp.broadcast_to(w[None, :], (slots, n)).reshape(-1) for w in (w0, w1, w2, w3)
     )
 
     # pad to a chunk multiple PLUS one extra chunk: a tile's last DMA starts

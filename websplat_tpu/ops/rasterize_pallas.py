@@ -6,27 +6,31 @@ pipeline state renderer.rs:57-85): TPUs have no rasterizer or blend units,
 so each screen tile is composited front-to-back by a grid program walking
 its depth-sorted instance span.
 
-Fully-vectorized design (v2 — v1 decoded records on the scalar core, which
-serialized the whole kernel at ~50 cycles/splat):
+Fully-vectorized design (v3 — v1 decoded records on the scalar core, v2
+required a group-major XLA transpose of the whole sorted stream between the
+sort and the kernel, ~2-3 ms of pure data movement at bonsai scale):
 
 - grid = (num_tiles,); per-tile [start, end) spans via scalar prefetch (they
   replace the reference's indirect draw counts).
-- Instances are stored GROUP-MAJOR in HBM: after the sort, an XLA transpose
-  rearranges every 1024-splat chunk so that lane 128*i + j holds splat
-  8*j + i.  In-kernel, a chunk row then reshapes (1, 1024) -> (8, 128) —
-  the only lane->sublane split Mosaic supports is at 128 granularity — and
-  column j of the result is a depth-ordered group of 8 consecutive splats.
+- Instances are consumed in their natural sorted order.  In-kernel, each
+  1024-splat chunk row is re-laid out in registers via the Mosaic-supported
+  chain  (8,128) -> transpose -> (16,8,8) swap last dims -> (128,8) ->
+  transpose,  yielding a column-PERMUTED group-major (8,128) vreg: column
+  p = 8a+k holds the depth-consecutive splats [128k+8a, 128k+8a+8).  Groups
+  are visited k-major / a-minor, which is exactly depth order.
 - A group of 8 splats is evaluated against all P tile pixels in (8, P)
   registers: alpha for 8 splats at once; the order-dependent transmittance
-  composite runs as a log-step exclusive cumprod along the sublane (splat)
-  axis — 3 roll/mask/multiply steps instead of an 8-long serial chain; color
-  accumulates via a sublane reduction.
-- Two-level skipping: a group whose packed opacities are all zero (span-edge
-  padding) costs one scalar test; a group with no visible contribution in
-  this tile skips the blend after the alpha evaluation.  The chunk loop
-  terminates once every pixel saturates (max transmittance < eps).  The
-  reference blends back-to-front with no early out (gaussian.wgsl:59-67);
-  front-to-back with eps cutoff is identical up to eps.
+  composite runs as a log-step pairwise over-composite along the sublane
+  (splat) axis — 3 roll/multiply levels instead of an 8-long serial chain;
+  GROUP_BATCH groups are evaluated with their instruction streams
+  interleaved (the VPU retires chained vreg ops at ~0.25/cycle but >2/cycle
+  given independent streams).
+- Two-level skipping: segments of seg_k*16 groups sharing one branch (a
+  segment = the k-rows of the permuted layout, selected by a lane%8 mask);
+  the chunk loop terminates once every pixel saturates (max transmittance
+  < eps).  The reference blends back-to-front with no early out
+  (gaussian.wgsl:59-67); front-to-back with eps cutoff is identical up to
+  eps.
 - f16/u16 record decode is vectorized integer bit math + vector bitcast
   (subnormals flush to zero; inf/nan cannot occur in our records).
 """
@@ -46,8 +50,8 @@ from websplat_tpu.config import CUTOFF, RasterConfig
 from websplat_tpu.ops import packing
 
 GROUP = 8  # splats blended per register step (the sublane dimension)
-CHUNK = GROUP * 128  # splats per DMA chunk (fixed by the (8, 128) reshape)
-SEGMENT = 32  # groups per skip-branch (span-edge over-read trimming)
+CHUNK = GROUP * 128  # splats per DMA chunk (fixed by the (8, 128) relayout)
+SEG_K = 2  # k-rows per skip-branch segment (seg_k*16 groups share a branch)
 GROUP_BATCH = 4  # groups whose instruction streams are interleaved for ILP
 
 
@@ -62,6 +66,20 @@ def _f16_vec(bits_u32):
     return jnp.where(exp == 0, 0.0, val)
 
 
+def _gm_shuffle(row_1x1024):
+    """(1, 1024) sequential chunk row -> (8, 128) permuted group-major.
+
+    Output column p = 8a+k holds splats [128k+8a, 128k+8a+8) along sublanes.
+    Every step is a Mosaic-supported reshape/transpose (lane<->sublane moves
+    only ever cross at the 128 or 8x8-block grain)."""
+    s = row_1x1024.reshape(8, 128)
+    st = jnp.transpose(s, (1, 0))  # (128, 8)
+    v = st.reshape(16, 8, 8)
+    v = jnp.transpose(v, (0, 2, 1))
+    w = v.reshape(128, 8)
+    return jnp.transpose(w, (1, 0))  # (8, 128)
+
+
 def _make_kernel(
     *,
     num_tiles_x: int,
@@ -70,10 +88,10 @@ def _make_kernel(
     eps: float,
     cq: packing.CenterQuant,
     group_skip: bool = True,
+    seg_k: int = SEG_K,
 ):
     p = tile_w * tile_h  # pixels per tile (multiple of 128)
     sub = p // 128
-    n_groups = CHUNK // GROUP  # 128
 
     def kernel(ranges_ref, w_hbm, out_ref, vmem, sems):
         t = pl.program_id(0)
@@ -92,10 +110,10 @@ def _make_kernel(
         chunk0 = lax.div(start, CHUNK)
         n_chunks = lax.div(end + CHUNK - 1, CHUNK) - chunk0
 
-        # global sorted index of element (i, j) of a reshaped chunk
-        g_row = lax.broadcasted_iota(jnp.int32, (GROUP, n_groups), 0)
-        g_col = lax.broadcasted_iota(jnp.int32, (GROUP, n_groups), 1)
-        chunk_local_idx = GROUP * g_col + g_row
+        # chunk-local sorted index of element (i, col p=8a+k): 128k + 8a + i
+        g_lane = lax.broadcasted_iota(jnp.int32, (GROUP, 128), 1)
+        g_sub = lax.broadcasted_iota(jnp.int32, (GROUP, 128), 0)
+        chunk_local_idx = 128 * (g_lane % 8) + 8 * (g_lane // 8) + g_sub
 
         def chunk_body(carry):
             ci, cr, cg, cb, trans = carry
@@ -104,15 +122,11 @@ def _make_kernel(
             copy.start()
             copy.wait()
 
-            # ---- vectorized decode of the whole chunk, group-major ----
-            def gm(row):
-                return vmem[row : row + 1, :].reshape(GROUP, n_groups)
-
-            w0 = gm(0)
-            w1 = gm(1)
-            w2 = gm(2)
-            w3 = gm(3)
-            w4 = gm(4)
+            # ---- in-register relayout + vectorized decode ----
+            w0 = _gm_shuffle(vmem[0:1, :])
+            w1 = _gm_shuffle(vmem[1:2, :])
+            w2 = _gm_shuffle(vmem[2:3, :])
+            w3 = _gm_shuffle(vmem[3:4, :])
             cx_g = (w0 & 0xFFFF).astype(jnp.int32).astype(jnp.float32) * (
                 1.0 / cq.scale_x
             ) - cq.margin
@@ -123,30 +137,25 @@ def _make_kernel(
             hb_g = _f16_vec(w1 >> 16)
             hc_g = _f16_vec(w2)
             op_g = _f16_vec(w2 >> 16)
-            r_g = _f16_vec(w3)
-            g_g = _f16_vec(w3 >> 16)
-            b_g = _f16_vec(w4)
+            # RGB9E5 decode (packing.pack_rgb9e5): scale = 2^(e-24) built
+            # directly in the f32 exponent field
+            e9 = (w3 >> 27).astype(jnp.int32)
+            scale9 = pltpu.bitcast(((e9 + 103) << 23).astype(jnp.uint32), jnp.float32)
+            r_g = (w3 & 0x1FF).astype(jnp.int32).astype(jnp.float32) * scale9
+            g_g = ((w3 >> 9) & 0x1FF).astype(jnp.int32).astype(jnp.float32) * scale9
+            b_g = ((w3 >> 18) & 0x1FF).astype(jnp.int32).astype(jnp.float32) * scale9
             # span-edge masking folds into opacity
             idx = off + chunk_local_idx
             op_g = jnp.where((idx >= start) & (idx < end), op_g, 0.0)
 
             # ---- blend groups in depth order ----
-            # Straight-line (branch-free) inner loop: measured 3.5x faster
-            # than per-group lax.cond skipping.  Skips happen only at segment
-            # granularity (SEGMENT consecutive groups share one branch),
-            # which trims the chunk-alignment over-read at span edges.
-            #
-            # GB groups are evaluated TOGETHER with their instruction streams
-            # interleaved step-by-step: the VPU retires chained vreg ops at
-            # ~0.25/cycle (4-cycle latency) but ~2.3/cycle with 4 independent
-            # streams (measured), and Mosaic does not software-pipeline
-            # across sequentially-emitted groups on its own.  Only the final
+            # GROUP_BATCH groups are evaluated TOGETHER with their
+            # instruction streams interleaved step-by-step; only the final
             # carry update (a few (1, P) ops per group) is serial.
-            def eval_groups(j0, gb, state):
+            def eval_groups(cols, state):
                 cr, cg, cb, trans = state
-                sls = [
-                    (lambda x, j=j: x[:, j : j + 1]) for j in range(j0, j0 + gb)
-                ]
+                nb = len(cols)
+                sls = [(lambda x, pc=pc: x[:, pc : pc + 1]) for pc in cols]
                 dx = [pix_x - s(cx_g) for s in sls]
                 dy = [pix_y - s(cy_g) for s in sls]
                 a = [
@@ -161,7 +170,7 @@ def _make_kernel(
                 ]
                 alpha = [
                     jnp.where(a[k] > 2.0 * CUTOFF, 0.0, alpha[k])
-                    for k in range(gb)
+                    for k in range(nb)
                 ]
                 # pairwise over-composite up the 8 splat rows (log tree):
                 # after 3 levels row 0 holds the whole group's premultiplied
@@ -169,7 +178,7 @@ def _make_kernel(
                 c_r = [alpha[k] * s(r_g) for k, s in enumerate(sls)]
                 c_g = [alpha[k] * s(g_g) for k, s in enumerate(sls)]
                 c_b = [alpha[k] * s(b_g) for k, s in enumerate(sls)]
-                t_l = [1.0 - alpha[k] for k in range(gb)]
+                t_l = [1.0 - alpha[k] for k in range(nb)]
                 for k_shift in (1, 2, 4):
                     roll = functools.partial(
                         pltpu.roll, shift=GROUP - k_shift, axis=0
@@ -178,13 +187,13 @@ def _make_kernel(
                     rolled_g = [roll(c) for c in c_g]
                     rolled_b = [roll(c) for c in c_b]
                     rolled_t = [roll(t) for t in t_l]
-                    c_r = [c_r[k] + t_l[k] * rolled_r[k] for k in range(gb)]
-                    c_g = [c_g[k] + t_l[k] * rolled_g[k] for k in range(gb)]
-                    c_b = [c_b[k] + t_l[k] * rolled_b[k] for k in range(gb)]
-                    t_l = [t_l[k] * rolled_t[k] for k in range(gb)]
+                    c_r = [c_r[k] + t_l[k] * rolled_r[k] for k in range(nb)]
+                    c_g = [c_g[k] + t_l[k] * rolled_g[k] for k in range(nb)]
+                    c_b = [c_b[k] + t_l[k] * rolled_b[k] for k in range(nb)]
+                    t_l = [t_l[k] * rolled_t[k] for k in range(nb)]
                 row0 = lambda x: x[0:1, :]
-                # serial carry across the gb groups (cheap (1, P) ops)
-                for k in range(gb):
+                # serial carry across the batch (cheap (1, P) ops)
+                for k in range(nb):
                     cr = cr + trans * row0(c_r[k])
                     cg = cg + trans * row0(c_g[k])
                     cb = cb + trans * row0(c_b[k])
@@ -192,18 +201,19 @@ def _make_kernel(
                 return cr, cg, cb, trans
 
             state = (cr, cg, cb, trans)
-            n_segments = n_groups // SEGMENT
-            for seg in range(n_segments):
-                j0 = seg * SEGMENT
+            # depth order over the permuted columns: k-major, a-minor
+            for k0 in range(0, 8, seg_k):
+                cols = [8 * a + k for k in range(k0, k0 + seg_k) for a in range(16)]
 
-                def eval_segment(state=state, j0=j0):
+                def eval_segment(state=state, cols=cols):
                     s = state
-                    for jb in range(j0, j0 + SEGMENT, GROUP_BATCH):
-                        s = eval_groups(jb, GROUP_BATCH, s)
+                    for c0 in range(0, len(cols), GROUP_BATCH):
+                        s = eval_groups(cols[c0 : c0 + GROUP_BATCH], s)
                     return s
 
                 if group_skip:
-                    seg_live = jnp.max(op_g[:, j0 : j0 + SEGMENT])
+                    m = (g_lane % 8 >= k0) & (g_lane % 8 < k0 + seg_k)
+                    seg_live = jnp.max(jnp.where(m, op_g, 0.0))
                     state = lax.cond(seg_live > 0.0, eval_segment, lambda s=state: s)
                 else:
                     state = eval_segment()
@@ -227,17 +237,6 @@ def _make_kernel(
     return kernel
 
 
-def _group_major(x: jnp.ndarray) -> jnp.ndarray:
-    """(M,) sorted order -> group-major chunk layout.
-
-    Within each 1024-splat chunk, lane 128*i + j receives splat 8*j + i so
-    the kernel's (1, 1024) -> (8, 128) reshape yields depth-ordered
-    8-splat groups along sublanes.
-    """
-    m = x.shape[0]
-    return x.reshape(m // CHUNK, n_g := CHUNK // GROUP, GROUP).transpose(0, 2, 1).reshape(m)
-
-
 @functools.partial(jax.jit, static_argnames=("width", "height", "config", "interpret"))
 def rasterize_pallas(
     sorted_payload,
@@ -258,20 +257,16 @@ def rasterize_pallas(
     cq = packing.CenterQuant.for_viewport(width, height)
     sub = (tw * th) // 128
 
-    # (8, M) instance matrix (5 group-major record words + 3 dead rows): the
-    # sublane dimension is 8 because Mosaic HBM slices must align to the
-    # (8, 128) tile in both dimensions.  Stack first, then one fused
-    # transpose (measured slightly cheaper than 5 separate ones).
+    # (8, M) instance matrix (4 record words in natural sorted order + 4
+    # dead rows): the sublane dimension is 8 because Mosaic HBM slices must
+    # align to the (8, 128) tile in both dimensions.  The group-major
+    # relayout happens inside the kernel, in registers.
     m_len = sorted_payload[0].shape[0]
-    big = jnp.stack(
+    n_rows = len(sorted_payload)
+    w_all = jnp.stack(
         tuple(sorted_payload)
-        + tuple(jnp.zeros_like(sorted_payload[0]) for _ in range(3)),
+        + tuple(jnp.zeros_like(sorted_payload[0]) for _ in range(8 - n_rows)),
         axis=0,
-    )
-    w_all = (
-        big.reshape(8, m_len // CHUNK, CHUNK // GROUP, GROUP)
-        .transpose(0, 1, 3, 2)
-        .reshape(8, m_len)
     )
 
     kernel = _make_kernel(

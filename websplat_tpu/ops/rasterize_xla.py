@@ -67,7 +67,7 @@ def rasterize_xla(
     num_tiles = tx_tiles * ty_tiles
     kmax = config.xla_max_per_tile
     cq = packing.CenterQuant.for_viewport(width, height)
-    w0, w1, w2, w3, w4 = sorted_payload
+    w0, w1, w2, w3 = sorted_payload
     m = w0.shape[0]
 
     # pixel centers for one tile (tw*th,)
@@ -80,7 +80,7 @@ def rasterize_xla(
         idx = jnp.minimum(start + jnp.arange(kmax), m - 1)
         valid = jnp.arange(kmax) < count
         px_c, py_c, ha, bb, hc, op, r, g, b_col = packing.unpack_record(
-            w0[idx], w1[idx], w2[idx], w3[idx], w4[idx], cq
+            w0[idx], w1[idx], w2[idx], w3[idx], cq
         )
         tile_x = (t % tx_tiles) * tw
         tile_y = (t // tx_tiles) * th

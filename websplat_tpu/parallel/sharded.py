@@ -123,7 +123,8 @@ def make_splat_sharded_renderer(
             side="left",
         ).astype(jnp.int32)
         m_loc = sk.shape[0]
-        stream = jnp.stack((sk,) + tuple(sp), axis=0)  # (6, M)
+        nw = 1 + len(sp)  # key + payload words per instance
+        stream = jnp.stack((sk,) + tuple(sp), axis=0)  # (nw, M)
         stream = jnp.pad(stream, ((0, 0), (0, cap)))
 
         # dead slots: INVALID key but ZERO payload — 0xFFFF payload halves
@@ -131,7 +132,7 @@ def make_splat_sharded_renderer(
         dead = jnp.concatenate(
             [
                 jnp.full((1, cap), INVALID_KEY, jnp.uint32),
-                jnp.zeros((5, cap), jnp.uint32),
+                jnp.zeros((nw - 1, cap), jnp.uint32),
             ],
             axis=0,
         )
@@ -139,23 +140,23 @@ def make_splat_sharded_renderer(
         def cut(r):
             start = region_starts[r]
             count = region_starts[r + 1] - start
-            buf = lax.dynamic_slice(stream, (0, start), (6, cap))
+            buf = lax.dynamic_slice(stream, (0, start), (nw, cap))
             live = jnp.arange(cap)[None, :] < count
             return jnp.where(live, buf, dead)
 
-        outgoing = jax.vmap(cut)(jnp.arange(d))  # (D, 6, cap)
+        outgoing = jax.vmap(cut)(jnp.arange(d))  # (D, nw, cap)
         dropped = jnp.maximum(
             jnp.diff(region_starts) - cap, 0
         ).sum()
 
         # 3. exchange regions over ICI
         incoming = lax.all_to_all(outgoing, SPLAT_AXIS, 0, 0, tiled=False)
-        # incoming: (D, 6, cap) — D senders' instances for MY region
+        # incoming: (D, nw, cap) — D senders' instances for MY region
 
         merged = jnp.concatenate(
             [incoming[s] for s in range(d)], axis=1
-        )  # (6, D*cap)
-        mk, mp = merged[0], tuple(merged[i] for i in range(1, 6))
+        )  # (nw, D*cap)
+        mk, mp = merged[0], tuple(merged[i] for i in range(1, nw))
 
         # 4. restore global depth order for my region
         mk, mp = sort_instances(mk, mp, backend=config.sort_backend)
