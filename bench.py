@@ -44,10 +44,10 @@ def main():
     )
 
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
-    from synth import make_camera, make_cloud
+    from synth import make_bench_cloud, make_camera
 
     rng = np.random.default_rng(0)
-    cloud = make_cloud(rng, n=N_SPLATS, extent=2.0, scale_range=(-6.5, -3.5))
+    cloud = make_bench_cloud(rng, n=N_SPLATS)
     cams = [
         make_camera(viewport=(WIDTH, HEIGHT), azimuth=2 * np.pi * i / N_VIEWS, distance=3.0)
         for i in range(N_VIEWS)

@@ -30,7 +30,7 @@ from websplat_tpu.render.renderer import (
     settings_to_device,
     upload_cloud,
 )
-from synth import make_camera, make_cloud
+from synth import make_bench_cloud, make_camera
 
 
 def timed(f, *args, n1=2, n2=8):
@@ -64,7 +64,7 @@ def main():
     height = int(sys.argv[3]) if len(sys.argv) > 3 else 799
 
     rng = np.random.default_rng(0)
-    cloud = make_cloud(rng, n=n, extent=2.0, scale_range=(-6.5, -3.5))
+    cloud = make_bench_cloud(rng, n=n)
     cam = make_camera(viewport=(width, height), distance=3.0)
     cam.fit_near_far(*cloud.aabb)
     uni = CameraUniforms.from_camera(cam, (width, height))
@@ -98,30 +98,29 @@ def main():
             return k, p
         return pre.keys, pre.payload
 
+    def _live(k, p):
+        # keep EVERY operand live: XLA dead-code-eliminates unused sort
+        # payload operands in truncated pipelines, which silently halves the
+        # measured sort cost (a 1-operand sort instead of the real 5)
+        return (
+            k[::65536].astype(jnp.float32).sum()
+            + sum(w[::65536].astype(jnp.float32).sum() for w in p)
+        )
+
     def stage_compact(dc, dcam, dset, salt=0):
         k, p = _compacted(dc, dcam, dset, salt)
-        return k[::65536].astype(jnp.float32).sum()
+        return _live(k, p)
 
     def stage_sort(dc, dcam, dset, salt=0):
         k, p = _compacted(dc, dcam, dset, salt)
         sk, sp = sort_instances(k, p, backend=config.sort_backend)
-        return sk[::65536].astype(jnp.float32).sum()
+        return _live(sk, sp)
 
     def stage_ranges(dc, dcam, dset, salt=0):
         k, p = _compacted(dc, dcam, dset, salt)
         sk, sp = sort_instances(k, p, backend=config.sort_backend)
         r = tile_ranges(sk, tx * ty, depth_bits)
-        return r.astype(jnp.float32).sum()
-
-    def stage_gm(dc, dcam, dset, salt=0):
-        # the group-major relayout now happens in-kernel; this stage measures
-        # the remaining (8, M) stack feeding the rasterizer's DMA layout
-        k, p = _compacted(dc, dcam, dset, salt)
-        sk, sp = sort_instances(k, p, backend=config.sort_backend)
-        r = tile_ranges(sk, tx * ty, depth_bits)
-        w_all = jnp.stack(
-            sp + tuple(jnp.zeros_like(sp[0]) for _ in range(8 - len(sp))), axis=0)
-        return w_all[:, ::65536].astype(jnp.float32).sum() + r.astype(jnp.float32).sum()
+        return _live(sk, sp) + r.astype(jnp.float32).sum()
 
     def stage_full(dc, dcam, dset, bg, salt=0):
         from websplat_tpu.render.renderer import render_frame_impl
@@ -134,7 +133,6 @@ def main():
     t_cmp = timed(stage_compact, dc, dcam, dset)
     t_sort = timed(stage_sort, dc, dcam, dset)
     t_rng = timed(stage_ranges, dc, dcam, dset)
-    t_gm = timed(stage_gm, dc, dcam, dset)
     t_full = timed(stage_full, dc, dcam, dset, bg)
     print(f"backend={jax.default_backend()} n={n} {width}x{height} "
           f"slots={config.tile_slots} sort={config.sort_backend} "
@@ -143,8 +141,7 @@ def main():
     print(f"+ compaction          : {t_cmp:8.2f} ms  (compact ~ {t_cmp - t_pre:.2f})")
     print(f"+ sort                : {t_sort:8.2f} ms  (sort ~ {t_sort - t_cmp:.2f})")
     print(f"+ tile ranges         : {t_rng:8.2f} ms  (ranges ~ {t_rng - t_sort:.2f})")
-    print(f"+ stack (8, M)        : {t_gm:8.2f} ms  (stack ~ {t_gm - t_rng:.2f})")
-    print(f"full frame            : {t_full:8.2f} ms  (raster ~ {t_full - t_gm:.2f})")
+    print(f"full frame            : {t_full:8.2f} ms  (raster ~ {t_full - t_rng:.2f})")
 
 
 if __name__ == "__main__":

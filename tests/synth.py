@@ -20,15 +20,26 @@ def make_cloud(
     sh_deg=3,
     extent=1.0,
     scale_range=(-4.5, -2.5),
+    scale_lognormal=None,
     opacity_logit_range=(-1.0, 3.0),
     kernel_size=None,
     mip_splatting=None,
     background_color=None,
 ) -> GaussianCloud:
     """Random cloud in a ball of `extent`, log-scales chosen so splats stay
-    small on screen (a few pixels), like a trained 3DGS scene's bulk."""
+    small on screen (a few pixels), like a trained 3DGS scene's bulk.
+
+    ``scale_lognormal=(mu, sigma)`` draws ln(scale) ~ N(mu, sigma) instead of
+    the uniform ``scale_range`` — the realistic choice for benchmark scenes
+    (trained 3DGS scales are heavy-tailed log-normal-ish: most splats project
+    to a few pixels, a thin tail spans many tiles)."""
     xyz = rng.normal(size=(n, 3)).astype(np.float32) * extent * 0.4
-    scale = np.exp(rng.uniform(*scale_range, size=(n, 3)).astype(np.float32)) * extent
+    if scale_lognormal is not None:
+        mu, sigma = scale_lognormal
+        log_s = rng.normal(mu, sigma, size=(n, 3)).astype(np.float32)
+    else:
+        log_s = rng.uniform(*scale_range, size=(n, 3)).astype(np.float32)
+    scale = np.exp(log_s) * extent
     rot = random_quats(rng, n)
     cov = build_cov(rot, scale)
     opacity = sigmoid(rng.uniform(*opacity_logit_range, size=(n,)).astype(np.float32))
@@ -74,11 +85,14 @@ def make_camera(
     fwd = target - pos
     fwd = fwd / np.linalg.norm(fwd)
     world_up = np.array([0.0, 1.0, 0.0], np.float32)
-    right = np.cross(fwd, world_up)
+    # right-handed camera-from-world basis with +z looking into the scene
+    # (3DGS convention): right = up x fwd, up = fwd x right — identity at
+    # fwd=+z.  (right = fwd x up builds a det=-1 REFLECTION, which
+    # mat_to_quat cannot represent; that bug made every synthetic camera
+    # look along ~world +z regardless of azimuth.)
+    right = np.cross(world_up, fwd)
     right /= np.linalg.norm(right)
-    up = np.cross(right, fwd)
-    # camera-from-world rows: x=right, y=up, z=forward (3DGS convention:
-    # +z looks into the scene)
+    up = np.cross(fwd, right)
     r = np.stack([right, up, fwd], axis=0)
     q = mat_to_quat(r)
     w, h = viewport
@@ -88,4 +102,20 @@ def make_camera(
         position=pos.astype(np.float32),
         rotation=q,
         projection=PerspectiveProjection.new((w, h), (fovx, fovy), znear, zfar),
+    )
+
+
+def make_bench_cloud(rng, n=1_244_819, extent=2.0) -> GaussianCloud:
+    """The benchmark cloud: bonsai's point count with trained-scene-like
+    footprint statistics.
+
+    ln(scale) ~ N(-6.48, 1.1) is calibrated so the MEDIAN projected splat
+    radius at the benchmark camera (distance 3.0, fovx 0.9, 1200 px wide:
+    radius_px ~= CUTOFF * focal/z * scale ~= 975 * scale) is ~3 px, matching
+    trained 3DGS scenes where most splats cover a few pixels and a thin
+    log-normal tail spans many tiles.  (A uniform-log draw used earlier gave
+    a 13 px median - ~5x fatter than real scenes, i.e. an unrealistically
+    rasterization-heavy workload.)"""
+    return make_cloud(
+        rng, n=n, extent=extent, scale_lognormal=(-6.48, 1.1)
     )

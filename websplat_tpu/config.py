@@ -61,7 +61,7 @@ class RasterConfig:
     # capacity is ceil(instance_capacity_factor * N); overflow instances are
     # dropped and reported in the render diagnostics.
     compact: bool = True
-    instance_capacity_factor: float = 2.5
+    instance_capacity_factor: float = 2.0
 
     # Sort backend: "xla" (lax.sort) or "pallas" (custom streaming sort).
     sort_backend: str = "xla"

@@ -45,7 +45,7 @@ BLOCK = 4096  # instances (lanes) per grid step
 ALIGN = 128  # HBM lane tile: per-block output offsets stay 128-aligned
 
 
-STREAMS = 2  # sub-blocks shuffled with interleaved instruction streams (ILP)
+STREAMS = 4  # sub-blocks shuffled with interleaved instruction streams (ILP)
 
 
 def _compact_kernel(capacity_pad: int, n_pairs: int):

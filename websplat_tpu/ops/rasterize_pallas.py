@@ -66,13 +66,13 @@ def _f16_vec(bits_u32):
     return jnp.where(exp == 0, 0.0, val)
 
 
-def _gm_shuffle(row_1x1024):
-    """(1, 1024) sequential chunk row -> (8, 128) permuted group-major.
+def _gm_shuffle(s):
+    """(8, 128) row-major chunk tile -> (8, 128) permuted group-major.
 
-    Output column p = 8a+k holds splats [128k+8a, 128k+8a+8) along sublanes.
+    Input element j of the 1024-splat chunk sits at (j // 128, j % 128);
+    output column p = 8a+k holds splats [128k+8a, 128k+8a+8) along sublanes.
     Every step is a Mosaic-supported reshape/transpose (lane<->sublane moves
     only ever cross at the 128 or 8x8-block grain)."""
-    s = row_1x1024.reshape(8, 128)
     st = jnp.transpose(s, (1, 0))  # (128, 8)
     v = st.reshape(16, 8, 8)
     v = jnp.transpose(v, (0, 2, 1))
@@ -93,7 +93,8 @@ def _make_kernel(
     p = tile_w * tile_h  # pixels per tile (multiple of 128)
     sub = p // 128
 
-    def kernel(ranges_ref, w_hbm, out_ref, vmem, sems):
+    def kernel(ranges_ref, w0_hbm, w1_hbm, w2_hbm, w3_hbm, out_ref,
+               v0a, v1a, v2a, v3a, v0b, v1b, v2b, v3b, sems):
         t = pl.program_id(0)
         start = ranges_ref[t]
         end = ranges_ref[t + 1]
@@ -115,18 +116,77 @@ def _make_kernel(
         g_sub = lax.broadcasted_iota(jnp.int32, (GROUP, 128), 0)
         chunk_local_idx = 128 * (g_lane % 8) + 8 * (g_lane // 8) + g_sub
 
+        words_hbm = (w0_hbm, w1_hbm, w2_hbm, w3_hbm)
+        vbufs = ((v0a, v1a, v2a, v3a), (v0b, v1b, v2b, v3b))
+
+        def copies(slot, ci):
+            # chunk ci of word i = the rank-1 slice [CHUNK*(chunk0+ci), +CHUNK)
+            # of the flat sorted word (no host-side relayout: an XLA
+            # (M,) -> (M/128, 128) reshape costs ~8 ms at bonsai scale).
+            # slot is a PYTHON int: each (slot, word) buffer is its own
+            # scratch ref — Mosaic cannot slice a stacked VMEM scratch below
+            # its (4, 128) tile
+            off = pl.multiple_of((chunk0 + ci) * CHUNK, CHUNK)
+            return [
+                pltpu.make_async_copy(
+                    words_hbm[i].at[pl.ds(off, CHUNK)],
+                    vbufs[slot][i],
+                    sems.at[slot, i],
+                )
+                for i in range(4)
+            ]
+
+        # double-buffered DMA: chunk 0 is started before the loop; each body
+        # waits on its own slot (parity ci%2), immediately starts the
+        # prefetch of ci+1 into the other slot (guarded: only if it exists),
+        # then decodes/blends while that DMA flies.  Slot parity is handled
+        # with pl.when branches + a both-slot select, because the scratch
+        # refs are statically indexed (Mosaic cannot dynamically slice a
+        # stacked VMEM scratch below its tile).  On early exit (saturation)
+        # one prefetch may be outstanding — drained after the loop so the
+        # per-slot semaphores stay balanced across grid steps.
+        def chunk_start(slot, ci):
+            for c in copies(slot, ci):
+                c.start()
+
+        def chunk_wait(slot, ci):
+            for c in copies(slot, ci):
+                c.wait()
+
+        @pl.when(n_chunks > 0)
+        def _warmup():
+            chunk_start(0, 0)
+
         def chunk_body(carry):
             ci, cr, cg, cb, trans = carry
-            off = (chunk0 + ci) * CHUNK
-            copy = pltpu.make_async_copy(w_hbm.at[:, pl.ds(off, CHUNK)], vmem, sems)
-            copy.start()
-            copy.wait()
+            s = ci % 2
+
+            @pl.when(s == 0)
+            def _w0():
+                chunk_wait(0, ci)
+
+            @pl.when(s == 1)
+            def _w1():
+                chunk_wait(1, ci)
+
+            @pl.when((s == 0) & (ci + 1 < n_chunks))
+            def _p1():
+                chunk_start(1, ci + 1)
+
+            @pl.when((s == 1) & (ci + 1 < n_chunks))
+            def _p0():
+                chunk_start(0, ci + 1)
 
             # ---- in-register relayout + vectorized decode ----
-            w0 = _gm_shuffle(vmem[0:1, :])
-            w1 = _gm_shuffle(vmem[1:2, :])
-            w2 = _gm_shuffle(vmem[2:3, :])
-            w3 = _gm_shuffle(vmem[3:4, :])
+            def word(i):
+                w = jnp.where(s == 0, vbufs[0][i][...], vbufs[1][i][...])
+                return _gm_shuffle(w.reshape(8, 128))
+
+            w0 = word(0)
+            w1 = word(1)
+            w2 = word(2)
+            w3 = word(3)
+            off = (chunk0 + ci) * CHUNK
             cx_g = (w0 & 0xFFFF).astype(jnp.int32).astype(jnp.float32) * (
                 1.0 / cq.scale_x
             ) - cq.margin
@@ -226,9 +286,19 @@ def _make_kernel(
 
         zero = jnp.zeros((1, p), jnp.float32)
         one = jnp.ones((1, p), jnp.float32)
-        _, cr, cg, cb, trans = lax.while_loop(
+        ci_f, cr, cg, cb, trans = lax.while_loop(
             chunk_cond, chunk_body, (jnp.int32(0), zero, zero, zero, one)
         )
+
+        # drain the prefetch left in flight by a saturation early-exit
+        # (exhaustion exits start no prefetch: the ci+1 < n_chunks guard)
+        @pl.when((ci_f < n_chunks) & (ci_f % 2 == 0))
+        def _d0():
+            chunk_wait(0, ci_f)
+
+        @pl.when((ci_f < n_chunks) & (ci_f % 2 == 1))
+        def _d1():
+            chunk_wait(1, ci_f)
         out_ref[0, 0] = cr.reshape(sub, 128)
         out_ref[0, 1] = cg.reshape(sub, 128)
         out_ref[0, 2] = cb.reshape(sub, 128)
@@ -257,17 +327,17 @@ def rasterize_pallas(
     cq = packing.CenterQuant.for_viewport(width, height)
     sub = (tw * th) // 128
 
-    # (8, M) instance matrix (4 record words in natural sorted order + 4
-    # dead rows): the sublane dimension is 8 because Mosaic HBM slices must
-    # align to the (8, 128) tile in both dimensions.  The group-major
-    # relayout happens inside the kernel, in registers.
+    # Each record word stays the flat (M,) array the sort produced; the
+    # kernel DMAs rank-1 CHUNK slices (1024-aligned, tile-exact).  Earlier
+    # designs stacked the words into one (8, M) matrix (~7 ms of pure
+    # relayout at bonsai scale + 2x DMA traffic from the 4 dead pad rows) or
+    # reshaped each word to (M/128, 128) (~8 ms: XLA's rank-1 layout is not
+    # sublane-tiled).  The group-major relayout happens inside the kernel,
+    # in registers.
     m_len = sorted_payload[0].shape[0]
-    n_rows = len(sorted_payload)
-    w_all = jnp.stack(
-        tuple(sorted_payload)
-        + tuple(jnp.zeros_like(sorted_payload[0]) for _ in range(8 - n_rows)),
-        axis=0,
-    )
+    if m_len % CHUNK != 0:
+        raise ValueError("instance stream length must be a chunk multiple")
+    words = list(sorted_payload)
 
     kernel = _make_kernel(
         num_tiles_x=tx_tiles,
@@ -281,13 +351,12 @@ def rasterize_pallas(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
         out_specs=pl.BlockSpec(
             (1, 4, sub, 128), lambda t, ranges: (t, 0, 0, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[
-            pltpu.VMEM((8, CHUNK), jnp.uint32),
-            pltpu.SemaphoreType.DMA,
+        scratch_shapes=[pltpu.VMEM((CHUNK,), jnp.uint32)] * 8 + [
+            pltpu.SemaphoreType.DMA((2, 4)),
         ],
     )
 
@@ -297,7 +366,7 @@ def rasterize_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles, 4, sub, 128), jnp.float32),
         interpret=interp,
-    )(ranges, w_all)
+    )(ranges, *words)
 
     # reassemble tiles -> image, composite background over final transmittance
     img = tiles.reshape(ty_tiles, tx_tiles, 4, th, tw)

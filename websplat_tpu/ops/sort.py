@@ -41,8 +41,17 @@ def sort_instances(
 def tile_ranges(sorted_keys: jnp.ndarray, num_tiles: int, depth_bits: int) -> jnp.ndarray:
     """(num_tiles + 1,) int32 boundaries: tile t spans [out[t], out[t+1])."""
     boundaries = (jnp.arange(num_tiles + 1, dtype=jnp.uint32) << np.uint32(depth_bits))
-    # searchsorted needs a consistent comparison; uint32 is supported by XLA,
-    # but guard against the final boundary overflowing into the sentinel
-    # region: boundary[num_tiles] = num_tiles << depth_bits <= 0xFFFFFFFF
-    # because tile_bits = ceil(log2(num_tiles + 1)).
-    return jnp.searchsorted(sorted_keys, boundaries, side="left").astype(jnp.int32)
+    # Hand-rolled vectorized binary search: ceil(log2(M)) rounds of a tiny
+    # (num_tiles+1)-row gather.  jnp.searchsorted lowers to ~1.7 ms at 3M
+    # keys on TPU; this runs in ~0.1 ms.  The final boundary
+    # num_tiles << depth_bits cannot overflow into the 0xFFFFFFFF sentinel
+    # region because tile_bits = ceil(log2(num_tiles + 1)).
+    m = sorted_keys.shape[0]
+    lo = jnp.zeros((num_tiles + 1,), jnp.int32)
+    hi = jnp.full((num_tiles + 1,), m, jnp.int32)
+    for _ in range(int(np.ceil(np.log2(max(m, 2)))) + 1):
+        mid = (lo + hi) >> 1
+        below = sorted_keys[jnp.clip(mid, 0, m - 1)] < boundaries
+        lo = jnp.where(below, mid + 1, lo)
+        hi = jnp.where(below, hi, mid)
+    return hi.astype(jnp.int32)

@@ -101,7 +101,7 @@ def make_view_parallel_renderer(
                 img, diag = render_frame_impl(
                     cloud, cam, settings, background,
                     width=width, height=height, config=config,
-                    compressed=compressed, return_diag=True,
+                    compressed=compressed, return_diag=True, multi_device=True,
                 )
                 return img, diag["num_visible"]
 

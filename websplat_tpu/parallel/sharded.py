@@ -106,8 +106,11 @@ def make_splat_sharded_renderer(
             cloud, camera, settings, width=width, height=height, config=config,
             compressed=compressed,
         )
+        from websplat_tpu.render.renderer import use_pallas_ops
+
+        pallas_ok = use_pallas_ops(multi_device=True)
         keys, payload = pre.keys, pre.payload
-        if config.compact:
+        if config.compact and pallas_ok:
             from websplat_tpu.ops.compact_pallas import compact_instances
 
             n_loc = cloud.xyz.shape[0]
@@ -183,7 +186,7 @@ def make_splat_sharded_renderer(
         ranges = tile_ranges(mk, tiles_per_region, depth_bits)
 
         # 5. rasterize my tile rows
-        if config.raster_backend == "pallas":
+        if config.raster_backend == "pallas" and pallas_ok:
             from websplat_tpu.ops.rasterize_pallas import rasterize_pallas
 
             img = rasterize_pallas(

@@ -71,6 +71,18 @@ def camera_to_device(cam: CameraUniforms) -> CameraParams:
     )
 
 
+def use_pallas_ops(multi_device: bool) -> bool:
+    """Whether the Pallas kernels are usable in the current trace context.
+
+    On non-TPU backends Pallas runs in the TPU *interpreter*, which simulates
+    every device of the enclosing mesh with a global ``threading.Barrier`` —
+    inside a multi-device ``shard_map`` on a host with too few cores the
+    device programs cannot rendezvous and the barrier deadlocks.  Single-
+    device interpret mode has no such barrier and stays enabled (it is how
+    the kernel unit tests run)."""
+    return jax.default_backend() == "tpu" or not multi_device
+
+
 def render_frame_impl(
     cloud: DeviceCloud,
     camera: CameraParams,
@@ -82,18 +94,21 @@ def render_frame_impl(
     config: RasterConfig,
     compressed: bool = False,
     return_diag: bool = False,
+    multi_device: bool = False,
 ):
     """Unjitted frame core: (H, W, 3) f32 linear image (+ diagnostics).
 
     Composable under jit / vmap / shard_map (the multi-view and multi-chip
-    paths in websplat_tpu/parallel wrap this)."""
+    paths in websplat_tpu/parallel wrap this; they pass ``multi_device=True``
+    so non-TPU traces avoid interpret-mode Pallas — see use_pallas_ops)."""
+    pallas_ok = use_pallas_ops(multi_device)
     pre = preprocess(
         cloud, camera, settings, width=width, height=height, config=config,
         compressed=compressed,
     )
     keys, payload = pre.keys, pre.payload
     num_dropped = jnp.int32(0)
-    if config.compact:
+    if config.compact and pallas_ok:
         from websplat_tpu.ops.compact_pallas import compact_instances
 
         n = cloud.xyz.shape[0]
@@ -108,7 +123,7 @@ def render_frame_impl(
     _, depth_bits = config.key_bits(width, height)
     ranges = tile_ranges(sorted_keys, tx * ty, depth_bits)
 
-    if config.raster_backend == "pallas":
+    if config.raster_backend == "pallas" and pallas_ok:
         from websplat_tpu.ops.rasterize_pallas import rasterize_pallas
 
         img = rasterize_pallas(
@@ -132,7 +147,9 @@ def render_frame_impl(
 
 render_frame = jax.jit(
     render_frame_impl,
-    static_argnames=("width", "height", "config", "compressed", "return_diag"),
+    static_argnames=(
+        "width", "height", "config", "compressed", "return_diag", "multi_device"
+    ),
 )
 
 

@@ -60,8 +60,16 @@ def quat_to_mat(q: np.ndarray) -> np.ndarray:
 
 
 def mat_to_quat(m: np.ndarray) -> np.ndarray:
-    """Rotation matrix -> quaternion (w, x, y, z); Shepperd's method."""
+    """Rotation matrix -> quaternion (w, x, y, z); Shepperd's method.
+
+    Rejects improper (det<0) or non-orthonormal inputs: a reflection has no
+    quaternion, and Shepperd's method silently returns garbage for one.
+    """
     m = np.asarray(m, dtype=np.float64)
+    if abs(np.linalg.det(m) - 1.0) > 1e-3 or not np.allclose(
+        m @ m.T, np.eye(3), atol=1e-3
+    ):
+        raise ValueError(f"not a rotation matrix (det={np.linalg.det(m):.4f})")
     t = np.trace(m)
     if t > 0:
         s = np.sqrt(t + 1.0) * 2
