@@ -63,21 +63,40 @@ def main():
     dset = settings_to_device(settings)
     bg = jnp.asarray(settings.background_color, jnp.float32)
 
-    @jax.jit
-    def run_all(dc, dcams, dset, bg):
-        imgs = render_views(
-            dc, dcams, dset, bg, width=WIDTH, height=HEIGHT, config=config
-        )
-        # tiny checksum keeps every frame live with a single readback
-        return jnp.sum(imgs[:, ::191, ::191, :])
+    import functools
 
-    # warmup (compile + lazy init, excluded like measure.rs:59-96)
-    chk = float(run_all(dc, dcams, dset, bg))
+    @functools.partial(jax.jit, static_argnames=("samples",))
+    def run_all(dc, dcams, dset, bg, salt, *, samples):
+        # all repetitions chained inside ONE program with a single readback
+        # at the end — the reference times submits with one final
+        # device.poll(Wait) (measure.rs:147) and no intra-timing readbacks.
+        # The salt perturbs the camera block per repetition (below f32
+        # resolution at view-matrix magnitude) so XLA cannot collapse or
+        # hoist the repetitions.
+        def rep(i, acc):
+            cams_i = dcams._replace(
+                view=dcams.view + salt * (1.0 + jnp.float32(i))
+            )
+            imgs = render_views(
+                dc, cams_i, dset, bg, width=WIDTH, height=HEIGHT, config=config
+            )
+            return acc + jnp.sum(imgs[:, ::191, ::191, :])
 
+        return jax.lax.fori_loop(0, samples, rep, jnp.float32(0.0))
+
+    salt = jnp.float32(1e-30)
+    # warmup both lengths (compile + lazy init, excluded like measure.rs:59-96)
+    chk = float(run_all(dc, dcams, dset, bg, salt, samples=1))
+    chk = float(run_all(dc, dcams, dset, bg, salt, samples=1 + SAMPLES))
+
+    # two-length slope cancels the fixed dispatch + tunnel-readback overhead
+    # (~75 ms here), which the reference's methodology also excludes
     t0 = time.perf_counter()
-    for _ in range(SAMPLES):
-        chk = float(run_all(dc, dcams, dset, bg))
-    elapsed = time.perf_counter() - t0
+    chk = float(run_all(dc, dcams, dset, bg, salt, samples=1))
+    t1 = time.perf_counter()
+    chk = float(run_all(dc, dcams, dset, bg, salt, samples=1 + SAMPLES))
+    t2 = time.perf_counter()
+    elapsed = (t2 - t1) - (t1 - t0)
 
     frames = N_VIEWS * SAMPLES
     fps = frames / elapsed

@@ -81,6 +81,19 @@ class PreprocessOut(NamedTuple):
     # the slot budget (coverage loss diagnostic; no reference counterpart)
 
 
+class PreprocessPacked(NamedTuple):
+    """Per-SPLAT outputs for the fused emission+compaction kernel
+    (ops/emit_compact_pallas.py): no N*slots instance stream is materialized.
+    All arrays are (N_pad,) u32, padded to the kernel's step multiple with
+    rect=0 (empty slot mask)."""
+
+    depth_q: jnp.ndarray  # quantized depth (low depth_bits)
+    rect: jnp.ndarray  # tx0 | ty0<<7 | w_t<<14 | slot_mask<<18
+    words: Tuple[jnp.ndarray, ...]  # 4 x packed record words
+    num_visible: jnp.ndarray
+    num_clamped: jnp.ndarray
+
+
 def _smoothstep01(x):
     t = jnp.clip(x, 0.0, 1.0)
     return t * t * (3.0 - 2.0 * t)
@@ -95,7 +108,12 @@ def preprocess(
     height: int,
     config: RasterConfig,
     compressed: bool = False,
-) -> PreprocessOut:
+    emit: str = "slots",
+):
+    """emit="slots": materialized (M_pad,) slot-instance stream (PreprocessOut,
+    feeds lax.sort directly or the standalone compactor).  emit="packed":
+    per-splat words for the fused emission+compaction kernel
+    (PreprocessPacked)."""
     n = cloud.xyz.shape[0]
     ts_x, ts_y = config.tile_w, config.tile_h
     tx_tiles, ty_tiles = config.tiles_for(width, height)
@@ -300,6 +318,7 @@ def preprocess(
 
     invalid_key = jnp.uint32(0xFFFFFFFF)
     keys_slots = []
+    mask = jnp.zeros((n,), jnp.uint32)
     for j in range(slots):
         dy = j // w_t
         dx = j - dy * w_t
@@ -313,12 +332,44 @@ def preprocess(
         by1 = by0 + (ts_y - 1)
         reaches = rect_min_a(bx0, bx1, by0, by1) <= 2.0 * CUTOFF
         slot_ok = visible & (j < n_rect) & (dy < h_t) & reaches
+        if emit == "packed":
+            mask = mask | (slot_ok.astype(jnp.uint32) << np.uint32(j))
+            continue
         key = jnp.where(
             slot_ok,
             (tile.astype(jnp.uint32) << np.uint32(depth_bits)) | depth_q,
             invalid_key,
         )
         keys_slots.append(key)
+
+    if emit == "packed":
+        from websplat_tpu.ops.emit_compact_pallas import (
+            MASK_SHIFT,
+            SPLATS,
+            TX0_BITS,
+            TY0_BITS,
+        )
+
+        rect_word = (
+            tx0.astype(jnp.uint32)
+            | (ty0.astype(jnp.uint32) << np.uint32(TX0_BITS))
+            | (jnp.minimum(w_t, 15).astype(jnp.uint32)
+               << np.uint32(TX0_BITS + TY0_BITS))
+            | (mask << np.uint32(MASK_SHIFT))
+        )
+        n_pad = -(-n // SPLATS) * SPLATS
+        pad = n_pad - n
+
+        def padded(x):
+            return jnp.concatenate([x, jnp.zeros((pad,), x.dtype)]) if pad else x
+
+        return PreprocessPacked(
+            depth_q=padded(depth_q),
+            rect=padded(rect_word),
+            words=tuple(padded(w) for w in (w0, w1, w2, w3)),
+            num_visible=jnp.sum(visible.astype(jnp.int32)),
+            num_clamped=jnp.sum((visible & (n_rect > slots)).astype(jnp.int32)),
+        )
 
     # Slot-MAJOR emission: (slots, N) -> flat.  Order is irrelevant (the
     # stable sort re-orders everything; equal-key collisions are different

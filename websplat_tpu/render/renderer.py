@@ -102,20 +102,42 @@ def render_frame_impl(
     paths in websplat_tpu/parallel wrap this; they pass ``multi_device=True``
     so non-TPU traces avoid interpret-mode Pallas — see use_pallas_ops)."""
     pallas_ok = use_pallas_ops(multi_device)
-    pre = preprocess(
-        cloud, camera, settings, width=width, height=height, config=config,
-        compressed=compressed,
+    tx_tiles, ty_tiles = config.tiles_for(width, height)
+    _, depth_bits_ = config.key_bits(width, height)
+    # fused emission+compaction needs the rect word's 7-bit tile coordinates
+    fused_ok = (
+        config.compact and pallas_ok and tx_tiles <= 127 and ty_tiles <= 127
+        and config.tile_slots <= 8
     )
-    keys, payload = pre.keys, pre.payload
-    num_dropped = jnp.int32(0)
-    if config.compact and pallas_ok:
-        from websplat_tpu.ops.compact_pallas import compact_instances
+    if fused_ok:
+        from websplat_tpu.ops.emit_compact_pallas import emit_compact
 
+        pre = preprocess(
+            cloud, camera, settings, width=width, height=height, config=config,
+            compressed=compressed, emit="packed",
+        )
         n = cloud.xyz.shape[0]
         capacity = max(4096, int(config.instance_capacity_factor * n))
-        keys, payload, _, num_dropped = compact_instances(
-            keys, payload, capacity=capacity
+        keys, payload, _, num_dropped = emit_compact(
+            pre.depth_q, pre.rect, pre.words,
+            slots=config.tile_slots, tx_tiles=tx_tiles,
+            depth_bits=depth_bits_, capacity=capacity,
         )
+    else:
+        pre = preprocess(
+            cloud, camera, settings, width=width, height=height, config=config,
+            compressed=compressed,
+        )
+        keys, payload = pre.keys, pre.payload
+        num_dropped = jnp.int32(0)
+        if config.compact and pallas_ok:
+            from websplat_tpu.ops.compact_pallas import compact_instances
+
+            n = cloud.xyz.shape[0]
+            capacity = max(4096, int(config.instance_capacity_factor * n))
+            keys, payload, _, num_dropped = compact_instances(
+                keys, payload, capacity=capacity
+            )
     sorted_keys, sorted_payload = sort_instances(
         keys, payload, backend=config.sort_backend
     )
