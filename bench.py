@@ -90,13 +90,20 @@ def main():
     chk = float(run_all(dc, dcams, dset, bg, salt, samples=1 + SAMPLES))
 
     # two-length slope cancels the fixed dispatch + tunnel-readback overhead
-    # (~75 ms here), which the reference's methodology also excludes
-    t0 = time.perf_counter()
-    chk = float(run_all(dc, dcams, dset, bg, salt, samples=1))
-    t1 = time.perf_counter()
-    chk = float(run_all(dc, dcams, dset, bg, salt, samples=1 + SAMPLES))
-    t2 = time.perf_counter()
-    elapsed = (t2 - t1) - (t1 - t0)
+    # (~75 ms here), which the reference's methodology also excludes; min of
+    # 3 repeats per length rejects tunnel latency spikes (observed multi-
+    # second stalls would otherwise poison a single-shot measurement)
+    def best(samples):
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run_all(dc, dcams, dset, bg, salt, samples=samples))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_short = best(1)
+    t_long = best(1 + SAMPLES)
+    elapsed = t_long - t_short
 
     frames = N_VIEWS * SAMPLES
     fps = frames / elapsed

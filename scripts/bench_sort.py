@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Micro-benchmark lax.sort variants for the instance sort on TPU.
+
+Variants: operand packing (5xu32 vs u64-packed) and stability.  Informs
+ops/sort.py's backend choice; run standalone (competes with nothing else on
+the chip or the timings are noise).
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def timed(f, *args, n1=1, n2=5):
+    def loop(n):
+        @jax.jit
+        def g(*a):
+            def body(i, acc):
+                r = f(*a, salt=i.astype(jnp.uint32))
+                return acc + r
+            return lax.fori_loop(0, n, body, jnp.float32(0.0))
+        return g
+
+    f1, f2 = loop(n1), loop(n2)
+    float(f1(*args)); float(f2(*args))
+    t0 = time.perf_counter(); float(f1(*args)); t1 = time.perf_counter()
+    float(f2(*args)); t2 = time.perf_counter()
+    return ((t2 - t1) - (t1 - t0)) / (n2 - n1) * 1e3
+
+
+def main():
+    m = int(sys.argv[1]) if len(sys.argv) > 1 else 1_703_936  # ~1.4 * bonsai
+    rng = np.random.default_rng(0)
+    keys = jnp.asarray(rng.integers(0, 1 << 32, m, dtype=np.uint64).astype(np.uint32))
+    words = [
+        jnp.asarray(rng.integers(0, 1 << 32, m, dtype=np.uint64).astype(np.uint32))
+        for _ in range(4)
+    ]
+
+    def live(outs):
+        return sum(o[::65536].astype(jnp.float32).sum() for o in outs)
+
+    def sort5(k, w0, w1, w2, w3, salt):
+        out = lax.sort((k ^ salt, w0, w1, w2, w3), num_keys=1, is_stable=True)
+        return live(out)
+
+    def sort5u(k, w0, w1, w2, w3, salt):
+        out = lax.sort((k ^ salt, w0, w1, w2, w3), num_keys=1, is_stable=False)
+        return live(out)
+
+    def sort2(k, w0, salt):
+        out = lax.sort((k ^ salt, w0), num_keys=1, is_stable=False)
+        return live(out)
+
+    def sort_u64(k, w0, w1, w2, w3, salt):
+        kw = (k ^ salt).astype(jnp.uint64) << 32 | w0.astype(jnp.uint64)
+        p0 = w1.astype(jnp.uint64) << 32 | w2.astype(jnp.uint64)
+        out = lax.sort((kw, p0, w3), num_keys=1, is_stable=False)
+        return live(out)
+
+    print(f"m={m}")
+    print(f"5xu32 stable   : {timed(sort5, keys, *words):7.2f} ms")
+    print(f"5xu32 unstable : {timed(sort5u, keys, *words):7.2f} ms")
+    print(f"2xu32 unstable : {timed(sort2, keys, words[0]):7.2f} ms")
+    print(f"u64-packed (3) : {timed(sort_u64, keys, *words):7.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

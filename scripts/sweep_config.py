@@ -71,13 +71,13 @@ def main():
 
     base = RasterConfig()
     variants = [
-        ("base 32x16 cap2.0 slots6", base),
-        ("cap1.4", dataclasses.replace(base, instance_capacity_factor=1.4)),
-        ("cap1.2", dataclasses.replace(base, instance_capacity_factor=1.2)),
-        ("16x16", dataclasses.replace(base, tile_w=16, tile_h=16)),
-        ("32x8", dataclasses.replace(base, tile_w=32, tile_h=8)),
-        ("16x8", dataclasses.replace(base, tile_w=16, tile_h=8)),
-        ("slots4", dataclasses.replace(base, tile_slots=4)),
+        ("base 32x16 cap2.0 sk2 gb4", base),
+        ("cap1.85", dataclasses.replace(base, instance_capacity_factor=1.85)),
+        ("seg_k1", dataclasses.replace(base, seg_k=1)),
+        ("seg_k4", dataclasses.replace(base, seg_k=4)),
+        ("gb8", dataclasses.replace(base, group_batch=8)),
+        ("gb2", dataclasses.replace(base, group_batch=2)),
+        ("eps1e-3", dataclasses.replace(base, transmittance_eps=1e-3)),
     ]
 
     for name, cfg in variants:

@@ -28,15 +28,21 @@ def test_sort_reversed_keys(rng):
     np.testing.assert_array_equal(np.asarray(si), np.arange(m, dtype=np.uint32)[::-1])
 
 
-def test_sort_stability(rng):
+def test_sort_tie_payload_pairing(rng):
+    """The instance sort is UNstable (equal keys = same tile + same quantized
+    depth, whose relative order the reference leaves to GPU scheduling;
+    unstable measured ~8% cheaper).  What must hold: key-payload rows stay
+    paired, and each key's payload multiset is preserved."""
     m = 4096
     keys = rng.integers(0, 8, size=m, dtype=np.uint32)  # many duplicates
     idx = np.arange(m, dtype=np.uint32)
     sk, (si,) = sort_instances(jnp.asarray(keys), [jnp.asarray(idx)])
     sk, si = np.asarray(sk), np.asarray(si)
+    assert np.all(np.diff(sk.astype(np.int64)) >= 0)
     for k in range(8):
-        sub = si[sk == k]
-        assert np.all(np.diff(sub.astype(np.int64)) > 0), "stable sort must keep index order"
+        np.testing.assert_array_equal(
+            np.sort(si[sk == k]), np.sort(idx[keys == k])
+        )
 
 
 def test_sentinel_keys_go_last(rng):

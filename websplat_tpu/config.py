@@ -54,6 +54,11 @@ class RasterConfig:
     # Skip blending for 8-splat groups with no contribution (branchy but
     # saves work in sparse tiles).
     group_skip: bool = True
+    # k-rows per skip-branch segment (seg_k*16 groups share one liveness
+    # branch) and the number of groups whose blend instruction streams are
+    # interleaved for ILP — both measured-tuned (see rasterize_pallas.py).
+    seg_k: int = 2
+    group_batch: int = 4
 
     # Compact invalid instances out before the sort (Pallas kernel): the sort
     # then runs over ~the true instance count instead of N * tile_slots,

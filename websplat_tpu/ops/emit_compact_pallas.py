@@ -244,7 +244,13 @@ def emit_compact(
         raise ValueError(f"tile_slots > {MAX_SLOTS} not supported by rect packing")
     n_steps = n // SPLATS
     n_units = n_steps * slots
-    capacity_pad = -(-capacity // SPLATS) * SPLATS + SPLATS
+    # Unit offsets advance in ALIGN (1024) multiples, so the stream holds up
+    # to n_units*(ALIGN-1) interspersed sentinel pads.  `capacity` counts
+    # REAL instances: the positional cut must budget for that worst case or
+    # align padding would eat into the instance budget (at small N the
+    # padding alone can exceed a small capacity).
+    limit = capacity + n_units * ALIGN
+    capacity_pad = -(-limit // SPLATS) * SPLATS + SPLATS
 
     # phase 1 (XLA): per-(step, slot) valid counts -> 128-aligned offsets
     mask_bits = rect >> np.uint32(MASK_SHIFT)
@@ -259,7 +265,9 @@ def emit_compact(
     ).astype(jnp.int32)
     total = offs[-1]
     num_valid = jnp.sum(cnt)
-    num_dropped = jnp.maximum(0, total - capacity)
+    # conservative diagnostic: positions past the cut are mostly real
+    # instances once padding is budgeted into `limit`
+    num_dropped = jnp.maximum(0, total - limit)
 
     kernel = _emit_compact_kernel(
         slots=slots,
@@ -293,9 +301,9 @@ def emit_compact(
         interpret=interp,
     )(offs, depth_q, rect, *words)
 
-    # sentinel everything at/after min(total, capacity) (uninitialized tail +
+    # sentinel everything at/after min(total, limit) (uninitialized tail +
     # capacity overflow), mirroring ops/compact_pallas.py
     cap_iota = jnp.arange(capacity_pad, dtype=jnp.int32)
-    tail = cap_iota >= jnp.minimum(total, capacity)
+    tail = cap_iota >= jnp.minimum(total, limit)
     keys = jnp.where(tail, jnp.uint32(INVALID_KEY), keys)
     return keys, (w0, w1, w2, w3), num_valid, num_dropped

@@ -131,11 +131,11 @@ def unpack_rgb9e5(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray
 
 
 def pack_record(px, py, half_a, b, half_c, opacity, rgb, q: CenterQuant):
-    """-> tuple of 4 (N,) uint32 payload words."""
+    """-> tuple of 4 (N,) uint32 payload words; rgb = 3 (N,) channel arrays."""
     w0 = pack_center(px, py, q)
     w1 = pack2xf16(half_a, b)
     w2 = pack2xf16(half_c, opacity)
-    w3 = pack_rgb9e5(rgb[:, 0], rgb[:, 1], rgb[:, 2])
+    w3 = pack_rgb9e5(rgb[0], rgb[1], rgb[2])
     return w0, w1, w2, w3
 
 

@@ -40,12 +40,19 @@ from websplat_tpu.ops.sh import eval_sh
 
 class DeviceCloud(NamedTuple):
     """Device-resident Gaussian cloud (the reference's GPU-side PointCloud,
-    /root/reference/src/pointcloud.rs:99-170)."""
+    /root/reference/src/pointcloud.rs:99-170).
 
-    xyz: jnp.ndarray  # (N, 3) f32
-    cov: jnp.ndarray  # (N, 6) f32 (decoded from f16 wire format)
+    COLUMN-major layout: every per-splat attribute is a contiguous (N,) row,
+    so the elementwise preprocess reads whole rows instead of extracting
+    strided columns from (N, k) arrays (each such extraction is a TPU
+    relayout pass; the 48 SH coefficient columns alone were ~half the
+    preprocess time in the row-major layout).  The one-time transpose
+    happens at upload (renderer.upload_cloud)."""
+
+    xyz: jnp.ndarray  # (3, N) f32
+    cov: jnp.ndarray  # (6, N) f32 (decoded from f16 wire format)
     opacity: jnp.ndarray  # (N,) f32
-    sh: jnp.ndarray  # (N, 16, 3) f16
+    sh: jnp.ndarray  # (48, N) f16, rows = coef-major * 3 channels (c*3+ch)
 
 
 class CameraParams(NamedTuple):
@@ -114,19 +121,25 @@ def preprocess(
     feeds lax.sort directly or the standalone compactor).  emit="packed":
     per-splat words for the fused emission+compaction kernel
     (PreprocessPacked)."""
-    n = cloud.xyz.shape[0]
+    n = cloud.opacity.shape[0]
     ts_x, ts_y = config.tile_w, config.tile_h
     tx_tiles, ty_tiles = config.tiles_for(width, height)
     tile_bits, depth_bits = config.key_bits(width, height)
     cq = packing.CenterQuant.for_viewport(width, height)
 
-    xyz = cloud.xyz
     view = camera.view
     proj = camera.proj
 
+    # column-major cloud: contiguous (N,) attribute rows (see DeviceCloud)
+    x_w, y_w, z_w = cloud.xyz[0], cloud.xyz[1], cloud.xyz[2]
+
     # --- clipping box cull (preprocess.wgsl:177-179) ---
-    inside = jnp.all(xyz >= settings.clipping_box_min, axis=1) & jnp.all(
-        xyz <= settings.clipping_box_max, axis=1
+    cb_min = settings.clipping_box_min
+    cb_max = settings.clipping_box_max
+    inside = (
+        (x_w >= cb_min[0]) & (x_w <= cb_max[0])
+        & (y_w >= cb_min[1]) & (y_w <= cb_max[1])
+        & (z_w >= cb_min[2]) & (z_w <= cb_max[2])
     )
 
     # --- transforms (preprocess.wgsl:181-184) ---
@@ -137,7 +150,6 @@ def preprocess(
     def affine3(m, v0, v1, v2):
         return tuple(m[i, 0] * v0 + m[i, 1] * v1 + m[i, 2] * v2 + m[i, 3] for i in range(3))
 
-    x_w, y_w, z_w = xyz[:, 0], xyz[:, 1], xyz[:, 2]
     cam_x, cam_y, cam_z = affine3(view, x_w, y_w, z_w)
     clip_x, clip_y, clip_z = affine3(proj, cam_x, cam_y, cam_z)
     clip_w = proj[3, 0] * cam_x + proj[3, 1] * cam_y + proj[3, 2] * cam_z + proj[3, 3]
@@ -158,13 +170,15 @@ def preprocess(
     )
 
     # --- walltime grow-in animation (preprocess.wgsl:196-203) ---
-    dd = 5.0 * jnp.linalg.norm(xyz - settings.scene_center, axis=1) / settings.scene_extend
+    ctr = settings.scene_center
+    dcx, dcy, dcz = x_w - ctr[0], y_w - ctr[1], z_w - ctr[2]
+    dd = 5.0 * jnp.sqrt(dcx * dcx + dcy * dcy + dcz * dcz) / settings.scene_extend
     scale_mod = jnp.where(settings.walltime > dd, _smoothstep01(settings.walltime - dd), 0.0)
     scaling = settings.gaussian_scaling * scale_mod
 
     # --- EWA projection (preprocess.wgsl:204-223), explicit components ---
-    c = cloud.cov * (scaling * scaling)[:, None]
-    s0, s1, s2, s3, s4, s5 = (c[:, i] for i in range(6))
+    sc2 = scaling * scaling
+    s0, s1, s2, s3, s4, s5 = (cloud.cov[i] * sc2 for i in range(6))
     fx = camera.focal[0]
     fy = camera.focal[1]
     inv_z = 1.0 / cam_z
@@ -220,14 +234,12 @@ def preprocess(
     # here the splat is culled explicitly.
     visible = visible & (lambda2 > 0.0)
 
-    ev = jnp.stack([off, lambda1 - diag1], -1)
-    ev_norm = jnp.linalg.norm(ev, axis=-1)
-    e1 = jnp.where(
-        (ev_norm > 1e-20)[:, None],
-        ev / jnp.maximum(ev_norm, 1e-30)[:, None],
-        jnp.stack([jnp.ones_like(off), zeros], -1),
-    )
-    e1x, e1y = e1[:, 0], e1[:, 1]
+    ev0, ev1 = off, lambda1 - diag1
+    ev_norm = jnp.sqrt(ev0 * ev0 + ev1 * ev1)
+    nz = ev_norm > 1e-20
+    inv_n = 1.0 / jnp.maximum(ev_norm, 1e-30)
+    e1x = jnp.where(nz, ev0 * inv_n, 1.0)
+    e1y = jnp.where(nz, ev1 * inv_n, 0.0)
 
     # conic = inv(Sigma') where Sigma' = l1 e1 e1^T + l2 e2 e2^T, e2 = perp(e1)
     inv_l1 = 1.0 / lambda1
@@ -250,9 +262,16 @@ def preprocess(
 
     # --- SH color (preprocess.wgsl:255-260) ---
     cam_pos = camera.view_inv[:3, 3]
-    dvec = xyz - cam_pos
-    dirs = dvec / jnp.maximum(jnp.linalg.norm(dvec, axis=1, keepdims=True), 1e-12)
-    rgb = jnp.maximum(0.0, eval_sh(cloud.sh, dirs, settings.max_sh_deg))
+    dvx, dvy, dvz = x_w - cam_pos[0], y_w - cam_pos[1], z_w - cam_pos[2]
+    inv_dn = 1.0 / jnp.maximum(
+        jnp.sqrt(dvx * dvx + dvy * dvy + dvz * dvz), 1e-12
+    )
+    rgb_r, rgb_g, rgb_b = eval_sh(
+        cloud.sh, dvx * inv_dn, dvy * inv_dn, dvz * inv_dn, settings.max_sh_deg
+    )
+    rgb_r = jnp.maximum(0.0, rgb_r)
+    rgb_g = jnp.maximum(0.0, rgb_g)
+    rgb_b = jnp.maximum(0.0, rgb_b)
 
     # --- depth key: f32 bit trick.  clip z >= 0 for visible splats, and the
     # bit patterns of non-negative floats are order-isomorphic to their
@@ -282,7 +301,8 @@ def preprocess(
 
     # --- packed record (shared by all slots of a splat) ---
     w0, w1, w2, w3 = packing.pack_record(
-        px, py, 0.5 * conic_a, conic_b, 0.5 * conic_c, opacity, rgb, cq
+        px, py, 0.5 * conic_a, conic_b, 0.5 * conic_c, opacity,
+        (rgb_r, rgb_g, rgb_b), cq
     )
 
     # --- emit slots: row-major enumeration of the true rect through the

@@ -89,6 +89,7 @@ def _make_kernel(
     cq: packing.CenterQuant,
     group_skip: bool = True,
     seg_k: int = SEG_K,
+    group_batch: int = GROUP_BATCH,
 ):
     p = tile_w * tile_h  # pixels per tile (multiple of 128)
     sub = p // 128
@@ -153,7 +154,11 @@ def _make_kernel(
             for c in copies(slot, ci):
                 c.wait()
 
-        @pl.when(n_chunks > 0)
+        # Cross-tile prefetch: every tile's first chunk is started at the END
+        # of the previous grid step (scratch + semaphores persist across
+        # steps), so only tile 0 pays the warm-up DMA latency — with ~2k
+        # tiles, per-tile first-chunk stalls are a multi-ms cost otherwise.
+        @pl.when((t == 0) & (n_chunks > 0))
         def _warmup():
             chunk_start(0, 0)
 
@@ -224,13 +229,18 @@ def _make_kernel(
                     + s(hc_g) * dy[k] * dy[k]
                     for k, s in enumerate(sls)
                 ]
+                # mask-first (reference discard, gaussian.wgsl:59-67) with
+                # the comparison written to REJECT NaN/inf `a`: sentinel and
+                # chunk-over-read lanes may carry uninitialized payload bits
+                # whose decoded conic is non-PSD or NaN — exp(-a) can be inf,
+                # and inf*0 or min(0.99, NaN) would poison the whole tile.
                 alpha = [
-                    jnp.minimum(0.99, jnp.exp(-a[k]) * s(op_g))
+                    jnp.where(
+                        (a[k] < 2.0 * CUTOFF) & (s(op_g) > 0.0),
+                        jnp.minimum(0.99, jnp.exp(-a[k]) * s(op_g)),
+                        0.0,
+                    )
                     for k, s in enumerate(sls)
-                ]
-                alpha = [
-                    jnp.where(a[k] > 2.0 * CUTOFF, 0.0, alpha[k])
-                    for k in range(nb)
                 ]
                 # pairwise over-composite up the 8 splat rows (log tree):
                 # after 3 levels row 0 holds the whole group's premultiplied
@@ -267,8 +277,8 @@ def _make_kernel(
 
                 def eval_segment(state=state, cols=cols):
                     s = state
-                    for c0 in range(0, len(cols), GROUP_BATCH):
-                        s = eval_groups(cols[c0 : c0 + GROUP_BATCH], s)
+                    for c0 in range(0, len(cols), group_batch):
+                        s = eval_groups(cols[c0 : c0 + group_batch], s)
                     return s
 
                 if group_skip:
@@ -299,6 +309,27 @@ def _make_kernel(
         @pl.when((ci_f < n_chunks) & (ci_f % 2 == 1))
         def _d1():
             chunk_wait(1, ci_f)
+
+        # start the NEXT tile's first chunk (slot 0) before this grid step
+        # ends; its loop's first wait consumes it (see _warmup note)
+        num_t = pl.num_programs(0)
+
+        @pl.when(t + 1 < num_t)
+        def _next_tile():
+            nstart = ranges_ref[t + 1]
+            nend = ranges_ref[t + 2]
+
+            @pl.when(nend > nstart)
+            def _():
+                noff = pl.multiple_of(
+                    lax.div(nstart, CHUNK) * CHUNK, CHUNK
+                )
+                for i in range(4):
+                    pltpu.make_async_copy(
+                        words_hbm[i].at[pl.ds(noff, CHUNK)],
+                        vbufs[0][i],
+                        sems.at[0, i],
+                    ).start()
         out_ref[0, 0] = cr.reshape(sub, 128)
         out_ref[0, 1] = cg.reshape(sub, 128)
         out_ref[0, 2] = cb.reshape(sub, 128)
@@ -346,6 +377,8 @@ def rasterize_pallas(
         eps=config.transmittance_eps,
         cq=cq,
         group_skip=config.group_skip,
+        seg_k=config.seg_k,
+        group_batch=config.group_batch,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

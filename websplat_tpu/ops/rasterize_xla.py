@@ -48,8 +48,14 @@ def splat_alpha(px_c, py_c, half_a, b, half_c, opacity, pix_x, pix_y):
     dx = pix_x - px_c
     dy = pix_y - py_c
     a = half_a * dx * dx + b * dx * dy + half_c * dy * dy
-    alpha = jnp.minimum(0.99, jnp.exp(-a) * opacity)
-    return jnp.where(a > 2.0 * CUTOFF, 0.0, alpha)
+    # mask-first, with the comparison rejecting NaN/inf `a`: sentinel lanes
+    # may carry uninitialized payload bits (non-PSD/NaN conics) and
+    # min(0.99, NaN) would poison the blend
+    return jnp.where(
+        (a < 2.0 * CUTOFF) & (opacity > 0.0),
+        jnp.minimum(0.99, jnp.exp(-a) * opacity),
+        0.0,
+    )
 
 
 def rasterize_xla(
@@ -92,7 +98,10 @@ def rasterize_xla(
         )  # (K, P)
         alpha = jnp.where(valid[:, None], alpha, 0.0)
         weights, t_final = blend_weights(alpha, axis=0)
+        # zero (not just zero-weight) invalid colors: NaN rgb bits from
+        # uninitialized sentinel payloads would poison the weighted sum
         rgb = jnp.stack([r, g, b_col], axis=-1)  # (K, 3)
+        rgb = jnp.where(valid[:, None], rgb, 0.0)
         # HIGHEST precision: TPU f32 dots default to bf16 MXU passes, which
         # visibly banding-quantizes heavily-overdrawn accumulations.
         img = jnp.einsum("kp,kc->pc", weights, rgb, precision=jax.lax.Precision.HIGHEST)

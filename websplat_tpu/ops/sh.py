@@ -30,25 +30,22 @@ SH_C3 = (
 )
 
 
-def eval_sh(sh: jnp.ndarray, dirs: jnp.ndarray, max_sh_deg) -> jnp.ndarray:
+def eval_sh(sh: jnp.ndarray, x, y, z, max_sh_deg):
     """Evaluate SH color.
 
     Args:
-      sh: (N, 16, 3) coefficients (f16 or f32; compute in f32).
-      dirs: (N, 3) unit view directions.
+      sh: (48, N) coefficients, rows ordered coef-major (row 3c+ch), f16 or
+        f32; compute in f32.  COLUMN-major so each coefficient row is a
+        contiguous (N,) read — extracting 48 strided columns from a
+        row-major (N, 48) array costs 48 relayout passes on TPU.
+      x, y, z: (N,) unit view direction components.
       max_sh_deg: traced int degree in [0, 3].
 
-    Returns (N, 3) colors including the reference's +0.5 offset
+    Returns 3 (N,) channel arrays including the reference's +0.5 offset
     (preprocess.wgsl:151); clamping to >= 0 happens at the call site
     (preprocess.wgsl:257-258).
-
-    Layout note: all arithmetic runs on channel-split (N,) arrays — ops on
-    (N, 3)-shaped arrays use 3 of 128 VPU lanes.
     """
-    flat = sh.reshape(sh.shape[0], 48)
-    x = dirs[:, 0]
-    y = dirs[:, 1]
-    z = dirs[:, 2]
+    flat = sh
 
     xx, yy, zz = x * x, y * y, z * z
     xy, yz, xz = x * y, y * z, x * z
@@ -79,8 +76,8 @@ def eval_sh(sh: jnp.ndarray, dirs: jnp.ndarray, max_sh_deg) -> jnp.ndarray:
     ]
     channels = []
     for ch in range(3):
-        acc = basis[0] * flat[:, ch].astype(jnp.float32)
+        acc = basis[0] * flat[ch].astype(jnp.float32)
         for c in range(1, 16):
-            acc = acc + basis[c] * flat[:, 3 * c + ch].astype(jnp.float32)
+            acc = acc + basis[c] * flat[3 * c + ch].astype(jnp.float32)
         channels.append(acc + 0.5)
-    return jnp.stack(channels, axis=-1)
+    return tuple(channels)

@@ -50,24 +50,30 @@ def splat_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
 def shard_cloud(cloud: DeviceCloud, mesh: Mesh) -> DeviceCloud:
     """Pad N to a mesh multiple and shard every array over the splat axis."""
     d = mesh.shape[SPLAT_AXIS]
-    n = cloud.xyz.shape[0]
+    n = cloud.opacity.shape[0]
     n_pad = -(-n // d) * d
     if n_pad != n:
         pad = n_pad - n
 
+        # splat axis is LAST in the column-major device layout (first for
+        # the rank-1 opacity); padded splats get opacity 0 -> zero
+        # contribution everywhere
         def padded(x):
-            w = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+            w = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
             return jnp.pad(x, w)
 
-        # padded splats get opacity 0 -> zero contribution everywhere
         cloud = DeviceCloud(
             xyz=padded(cloud.xyz),
             cov=padded(cloud.cov),
             opacity=padded(cloud.opacity),
             sh=padded(cloud.sh),
         )
-    sharding = jax.sharding.NamedSharding(mesh, P(SPLAT_AXIS))
-    return DeviceCloud(*(jax.device_put(x, sharding) for x in cloud))
+
+    def shard(x):
+        spec = P(*([None] * (x.ndim - 1) + [SPLAT_AXIS]))
+        return jax.device_put(x, jax.sharding.NamedSharding(mesh, spec))
+
+    return DeviceCloud(*(shard(x) for x in cloud))
 
 
 def make_splat_sharded_renderer(
@@ -113,7 +119,7 @@ def make_splat_sharded_renderer(
         if config.compact and pallas_ok:
             from websplat_tpu.ops.compact_pallas import compact_instances
 
-            n_loc = cloud.xyz.shape[0]
+            n_loc = cloud.opacity.shape[0]
             capacity = max(4096, int(config.instance_capacity_factor * n_loc))
             keys, payload, _, _ = compact_instances(keys, payload, capacity=capacity)
         sk, sp = sort_instances(keys, payload, backend=config.sort_backend)
@@ -204,11 +210,19 @@ def make_splat_sharded_renderer(
         total_dropped = lax.psum(dropped, SPLAT_AXIS)
         return img, total_visible, total_dropped
 
+    # splat axis is LAST for the column-major 2-D cloud leaves
+    cloud_spec = DeviceCloud(
+        xyz=P(None, SPLAT_AXIS),
+        cov=P(None, SPLAT_AXIS),
+        opacity=P(SPLAT_AXIS),
+        sh=P(None, SPLAT_AXIS),
+    )
+
     def step(cloud, camera, settings, background):
         img, vis, drop = jax.shard_map(
             shard_fn,
             mesh=mesh,
-            in_specs=(P(SPLAT_AXIS), P(), P(), P()),
+            in_specs=(cloud_spec, P(), P(), P()),
             out_specs=(P(SPLAT_AXIS), P(), P()),
             check_vma=False,
         )(cloud, camera, settings, background)

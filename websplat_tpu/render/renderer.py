@@ -38,12 +38,16 @@ def upload_cloud(cloud: GaussianCloud) -> DeviceCloud:
     """Host cloud -> device pytree (reference: PointCloud::new upload,
     /root/reference/src/pointcloud.rs:99-170).  The f16 wire values are
     widened to f32 once; SH stays f16 in HBM (it is the bulk of the bytes and
-    the preprocess reads it once per frame)."""
+    the preprocess reads it once per frame).  Arrays are transposed to the
+    COLUMN-major device layout here, once (see DeviceCloud)."""
+    n = cloud.xyz.shape[0]
     return DeviceCloud(
-        xyz=jnp.asarray(cloud.xyz, jnp.float32),
-        cov=jnp.asarray(cloud.cov.astype(np.float32)),
+        xyz=jnp.asarray(np.ascontiguousarray(cloud.xyz.T), jnp.float32),
+        cov=jnp.asarray(np.ascontiguousarray(cloud.cov.T).astype(np.float32)),
         opacity=jnp.asarray(cloud.opacity.astype(np.float32)),
-        sh=jnp.asarray(cloud.sh, jnp.float16),
+        sh=jnp.asarray(
+            np.ascontiguousarray(cloud.sh.reshape(n, 48).T), jnp.float16
+        ),
     )
 
 
@@ -116,7 +120,7 @@ def render_frame_impl(
             cloud, camera, settings, width=width, height=height, config=config,
             compressed=compressed, emit="packed",
         )
-        n = cloud.xyz.shape[0]
+        n = cloud.opacity.shape[0]
         capacity = max(4096, int(config.instance_capacity_factor * n))
         keys, payload, _, num_dropped = emit_compact(
             pre.depth_q, pre.rect, pre.words,
@@ -133,7 +137,7 @@ def render_frame_impl(
         if config.compact and pallas_ok:
             from websplat_tpu.ops.compact_pallas import compact_instances
 
-            n = cloud.xyz.shape[0]
+            n = cloud.opacity.shape[0]
             capacity = max(4096, int(config.instance_capacity_factor * n))
             keys, payload, _, num_dropped = compact_instances(
                 keys, payload, capacity=capacity
