@@ -83,28 +83,21 @@ def main():
         return cam._replace(view=cam.view + salt * 1e-12)
 
     def stage_pre(dc, dcam, dset, salt=0):
-        if config.compact:
-            pre = preprocess(dc, salted(dcam, salt), dset, width=width,
-                             height=height, config=config, emit="packed")
-            return (
-                pre.depth_q[::65536].astype(jnp.float32).sum()
-                + pre.rect[::65536].astype(jnp.float32).sum()
-                + sum(w[::65536].astype(jnp.float32).sum() for w in pre.words)
-            )
-        pre = preprocess(dc, salted(dcam, salt), dset, width=width, height=height,
-                         config=config)
-        return pre.keys[::65536].astype(jnp.float32).sum()
+        # with the fused frontend, "preprocess" and "emit+compact" are one
+        # kernel; this stage times the whole frontend
+        k, p = _compacted(dc, dcam, dset, salt)
+        return _live(k, p)
 
     def _compacted(dc, dcam, dset, salt):
         if config.compact:
-            from websplat_tpu.ops.emit_compact_pallas import emit_compact
+            from websplat_tpu.ops.frontend_pallas import fused_frontend
 
-            pre = preprocess(dc, salted(dcam, salt), dset, width=width,
-                             height=height, config=config, emit="packed")
-            cap = max(4096, int(config.instance_capacity_factor * dc.xyz.shape[0]))
-            k, p, _, _ = emit_compact(
-                pre.depth_q, pre.rect, pre.words, slots=config.tile_slots,
-                tx_tiles=tx, depth_bits=depth_bits, capacity=cap,
+            cap = max(
+                4096, int(config.instance_capacity_factor * dc.opacity.shape[0])
+            )
+            k, p, _, _, _, _ = fused_frontend(
+                dc, salted(dcam, salt), dset, width=width, height=height,
+                config=config, capacity=cap,
             )
             return k, p
         pre = preprocess(dc, salted(dcam, salt), dset, width=width, height=height,
@@ -142,17 +135,15 @@ def main():
                                 width=width, height=height, config=config)
         return img[::256, ::256].sum()
 
-    t_pre = timed(stage_pre, dc, dcam, dset)
-    t_cmp = timed(stage_compact, dc, dcam, dset)
+    t_front = timed(stage_compact, dc, dcam, dset)
     t_sort = timed(stage_sort, dc, dcam, dset)
     t_rng = timed(stage_ranges, dc, dcam, dset)
     t_full = timed(stage_full, dc, dcam, dset, bg)
     print(f"backend={jax.default_backend()} n={n} {width}x{height} "
           f"slots={config.tile_slots} sort={config.sort_backend} "
           f"compact={config.compact}")
-    print(f"preprocess            : {t_pre:8.2f} ms")
-    print(f"+ emit+compact        : {t_cmp:8.2f} ms  (compact ~ {t_cmp - t_pre:.2f})")
-    print(f"+ sort                : {t_sort:8.2f} ms  (sort ~ {t_sort - t_cmp:.2f})")
+    print(f"frontend (pre+emit+compact): {t_front:8.2f} ms")
+    print(f"+ sort                : {t_sort:8.2f} ms  (sort ~ {t_sort - t_front:.2f})")
     print(f"+ tile ranges         : {t_rng:8.2f} ms  (ranges ~ {t_rng - t_sort:.2f})")
     print(f"full frame            : {t_full:8.2f} ms  (raster ~ {t_full - t_rng:.2f})")
 

@@ -27,19 +27,68 @@ from __future__ import annotations
 from typing import NamedTuple, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 
 def f32_to_f16_bits(x: jnp.ndarray) -> jnp.ndarray:
-    """f32 -> u32 containing the f16 bit pattern in the low 16 bits."""
-    h = x.astype(jnp.float16)
-    return lax.bitcast_convert_type(h, jnp.uint16).astype(jnp.uint32)
+    """f32 -> u32 containing the f16 bit pattern in the low 16 bits.
+
+    Pure 32-bit integer round-to-nearest-even (bit-identical to an f16
+    astype for finite inputs; values > 65504 clamp to the f16 max rather
+    than rounding to inf — none of our packed quantities approach it).
+    Implemented without 16-bit vector types because Mosaic (Pallas TPU) has
+    no f32<->f16 vector casts; this exact path runs in BOTH the XLA
+    preprocess and the fused frontend kernel, keeping them bit-identical.
+    """
+    xb = lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    sign = (xb >> np.uint32(16)) & np.uint32(0x8000)
+    xa = jnp.minimum(jnp.abs(x), 65504.0)
+    bits = lax.bitcast_convert_type(xa.astype(jnp.float32), jnp.uint32)
+    e = (bits >> np.uint32(23)).astype(jnp.int32)  # biased f32 exponent
+    m = bits & np.uint32(0x7FFFFF)
+
+    # normal f16 (e >= 113): drop 13 mantissa bits with RTNE; the rounding
+    # increment carries into the exponent correctly (f16 layout is monotone)
+    base = (
+        ((e - 112).astype(jnp.uint32) << np.uint32(10)) | (m >> np.uint32(13))
+    )
+    r = m & np.uint32(0x1FFF)
+    inc_n = (r > 0x1000) | ((r == 0x1000) & (((m >> np.uint32(13)) & 1) == 1))
+    half_norm = base + inc_n.astype(jnp.uint32)
+
+    # subnormal f16 (103 <= e <= 112): value = round(xa * 2^24) * 2^-24
+    mf = m | np.uint32(0x800000)
+    s = jnp.clip(126 - e, 1, 31).astype(jnp.uint32)
+    kept = mf >> s
+    rbit = (mf >> (s - np.uint32(1))) & 1
+    low_mask = (jnp.ones_like(mf) << (s - np.uint32(1))) - np.uint32(1)
+    sticky = (mf & low_mask) != 0
+    inc_s = (rbit == 1) & (sticky | ((kept & 1) == 1))
+    half_sub = kept + inc_s.astype(jnp.uint32)
+
+    # e == 102 (value in [2^-25, 2^-24)) still rounds up to the smallest
+    # subnormal when above the 2^-25 tie, so the subnormal branch includes it
+    half = jnp.where(
+        e >= 113, half_norm, jnp.where(e >= 102, half_sub, jnp.uint32(0))
+    )
+    return sign | half
 
 
 def f16_bits_to_f32(bits: jnp.ndarray) -> jnp.ndarray:
-    """u32 low 16 bits (f16 pattern) -> f32."""
-    u16 = (bits & jnp.uint32(0xFFFF)).astype(jnp.uint16)
-    return lax.bitcast_convert_type(u16, jnp.float16).astype(jnp.float32)
+    """u32 low 16 bits (f16 pattern) -> f32 (exact, incl. subnormals);
+    32-bit integer math only (see f32_to_f16_bits)."""
+    h = bits & np.uint32(0xFFFF)
+    sign_mask = jnp.where((h & np.uint32(0x8000)) != 0, -1.0, 1.0)
+    exp = (h >> np.uint32(10)) & np.uint32(0x1F)
+    man = (h & np.uint32(0x3FF)).astype(jnp.int32)
+    f32_bits = ((h & np.uint32(0x8000)) << np.uint32(16)) | (
+        ((exp + np.uint32(112)) << np.uint32(23))
+        | (man.astype(jnp.uint32) << np.uint32(13))
+    )
+    normal = lax.bitcast_convert_type(f32_bits, jnp.float32)
+    sub = sign_mask * man.astype(jnp.float32) * np.float32(5.9604645e-8)
+    return jnp.where(exp == 0, sub, normal)
 
 
 def pack2xf16(lo: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
@@ -79,8 +128,10 @@ class CenterQuant(NamedTuple):
 
 
 def pack_center(px: jnp.ndarray, py: jnp.ndarray, q: CenterQuant) -> jnp.ndarray:
-    qx = jnp.clip(jnp.round((px + q.margin) * q.scale_x), 0, 65535).astype(jnp.uint32)
-    qy = jnp.clip(jnp.round((py + q.margin) * q.scale_y), 0, 65535).astype(jnp.uint32)
+    # f32 -> i32 -> u32: Mosaic has no direct f32->u32 cast (values are
+    # clipped non-negative, so the i32 hop is exact)
+    qx = jnp.clip(jnp.round((px + q.margin) * q.scale_x), 0, 65535).astype(jnp.int32).astype(jnp.uint32)
+    qy = jnp.clip(jnp.round((py + q.margin) * q.scale_y), 0, 65535).astype(jnp.int32).astype(jnp.uint32)
     return pack2xu16(qx, qy)
 
 
@@ -114,9 +165,10 @@ def pack_rgb9e5(r: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         ((exp_shared + 103) << 23).astype(jnp.uint32), jnp.float32
     )
     inv = 1.0 / scale
-    mr = jnp.clip(jnp.round(r * inv), 0, 511).astype(jnp.uint32)
-    mg = jnp.clip(jnp.round(g * inv), 0, 511).astype(jnp.uint32)
-    mb = jnp.clip(jnp.round(b * inv), 0, 511).astype(jnp.uint32)
+    # via i32: Mosaic has no direct f32->u32 cast (clipped non-negative)
+    mr = jnp.clip(jnp.round(r * inv), 0, 511).astype(jnp.int32).astype(jnp.uint32)
+    mg = jnp.clip(jnp.round(g * inv), 0, 511).astype(jnp.int32).astype(jnp.uint32)
+    mb = jnp.clip(jnp.round(b * inv), 0, 511).astype(jnp.int32).astype(jnp.uint32)
     return mr | (mg << 9) | (mb << 18) | (exp_shared.astype(jnp.uint32) << 27)
 
 

@@ -52,7 +52,8 @@ class DeviceCloud(NamedTuple):
     xyz: jnp.ndarray  # (3, N) f32
     cov: jnp.ndarray  # (6, N) f32 (decoded from f16 wire format)
     opacity: jnp.ndarray  # (N,) f32
-    sh: jnp.ndarray  # (48, N) f16, rows = coef-major * 3 channels (c*3+ch)
+    sh: jnp.ndarray  # (24, N) u32: f16 coefficient pairs, flat index
+    # k = 3*coef + channel; k=2p low half of row p, k=2p+1 high half
 
 
 class CameraParams(NamedTuple):
@@ -106,36 +107,40 @@ def _smoothstep01(x):
     return t * t * (3.0 - 2.0 * t)
 
 
-def preprocess(
-    cloud: DeviceCloud,
-    camera: CameraParams,
-    settings: DeviceSettings,
+def core_math(
+    pos,  # (x, y, z) per-splat arrays (any shape)
+    cov6,  # 6 per-splat arrays, upper-triangle [xx, xy, xz, yy, yz, zz]
+    opacity_in,  # per-splat array
+    sh_rows,  # indexable of 24 u32 rows (f16 pairs; see eval_sh)
+    view,  # 4x4 nested tuple of scalars
+    proj,  # 4x4 nested tuple of scalars
+    cam_pos,  # (x, y, z) scalars (view_inv translation)
+    focal,  # (fx, fy) scalars
+    st,  # dict of scalar settings: cb_min/cb_max/center (3-tuples),
+    # gaussian_scaling, kernel, walltime, extend, mip (bool-ish), max_sh_deg
     *,
     width: int,
     height: int,
     config: RasterConfig,
-    compressed: bool = False,
-    emit: str = "slots",
+    compressed: bool,
 ):
-    """emit="slots": materialized (M_pad,) slot-instance stream (PreprocessOut,
-    feeds lax.sort directly or the standalone compactor).  emit="packed":
-    per-splat words for the fused emission+compaction kernel
-    (PreprocessPacked)."""
-    n = cloud.opacity.shape[0]
+    """The whole per-splat preprocess math, SHAPE-AGNOSTIC: runs on (N,)
+    arrays in the XLA path and on (ROWS, 128) register blocks inside the
+    fused Pallas frontend kernel (single source of truth for the reference
+    semantics; every stage cited to preprocess.wgsl in the body).
+
+    Camera/settings enter as PLAIN SCALARS (nested tuples / dict) because
+    the kernel reads them from SMEM; callers with pytree inputs extract
+    scalars first.  Returns a dict of per-splat arrays + the `reaches`
+    closure used by the slot walk."""
     ts_x, ts_y = config.tile_w, config.tile_h
     tx_tiles, ty_tiles = config.tiles_for(width, height)
-    tile_bits, depth_bits = config.key_bits(width, height)
+    _, depth_bits = config.key_bits(width, height)
     cq = packing.CenterQuant.for_viewport(width, height)
-
-    view = camera.view
-    proj = camera.proj
-
-    # column-major cloud: contiguous (N,) attribute rows (see DeviceCloud)
-    x_w, y_w, z_w = cloud.xyz[0], cloud.xyz[1], cloud.xyz[2]
+    x_w, y_w, z_w = pos
 
     # --- clipping box cull (preprocess.wgsl:177-179) ---
-    cb_min = settings.clipping_box_min
-    cb_max = settings.clipping_box_max
+    cb_min, cb_max = st["cb_min"], st["cb_max"]
     inside = (
         (x_w >= cb_min[0]) & (x_w <= cb_max[0])
         & (y_w >= cb_min[1]) & (y_w <= cb_max[1])
@@ -148,11 +153,13 @@ def preprocess(
     # whose ~5e-3 relative error shifts splat centers by ~0.5 px (measured).
     # Elementwise keeps full f32 on the VPU.
     def affine3(m, v0, v1, v2):
-        return tuple(m[i, 0] * v0 + m[i, 1] * v1 + m[i, 2] * v2 + m[i, 3] for i in range(3))
+        return tuple(
+            m[i][0] * v0 + m[i][1] * v1 + m[i][2] * v2 + m[i][3] for i in range(3)
+        )
 
     cam_x, cam_y, cam_z = affine3(view, x_w, y_w, z_w)
     clip_x, clip_y, clip_z = affine3(proj, cam_x, cam_y, cam_z)
-    clip_w = proj[3, 0] * cam_x + proj[3, 1] * cam_y + proj[3, 2] * cam_z + proj[3, 3]
+    clip_w = proj[3][0] * cam_x + proj[3][1] * cam_y + proj[3][2] * cam_z + proj[3][3]
     bounds = 1.2 * clip_w
     z_ndc = clip_z / clip_w
 
@@ -170,30 +177,28 @@ def preprocess(
     )
 
     # --- walltime grow-in animation (preprocess.wgsl:196-203) ---
-    ctr = settings.scene_center
+    ctr = st["center"]
     dcx, dcy, dcz = x_w - ctr[0], y_w - ctr[1], z_w - ctr[2]
-    dd = 5.0 * jnp.sqrt(dcx * dcx + dcy * dcy + dcz * dcz) / settings.scene_extend
-    scale_mod = jnp.where(settings.walltime > dd, _smoothstep01(settings.walltime - dd), 0.0)
-    scaling = settings.gaussian_scaling * scale_mod
+    dd = 5.0 * jnp.sqrt(dcx * dcx + dcy * dcy + dcz * dcz) / st["extend"]
+    scale_mod = jnp.where(st["walltime"] > dd, _smoothstep01(st["walltime"] - dd), 0.0)
+    scaling = st["gaussian_scaling"] * scale_mod
 
     # --- EWA projection (preprocess.wgsl:204-223), explicit components ---
     sc2 = scaling * scaling
-    s0, s1, s2, s3, s4, s5 = (cloud.cov[i] * sc2 for i in range(6))
-    fx = camera.focal[0]
-    fy = camera.focal[1]
+    s0, s1, s2, s3, s4, s5 = (c * sc2 for c in cov6)
+    fx, fy = focal
     inv_z = 1.0 / cam_z
-    zeros = jnp.zeros_like(cam_z)
     # 2x3 EWA Jacobian rows (transposed column layout of preprocess.wgsl:209-219)
     j00, j02 = fx * inv_z, -fx * cam_x * inv_z * inv_z
     j11, j12 = -fy * inv_z, fy * cam_y * inv_z * inv_z
     # t = J2 @ V3 rows a, b  (t[r,c] = sum_k j2[r,k] * view[k,c])
     v = view
-    a0 = j00 * v[0, 0] + j02 * v[2, 0]
-    a1 = j00 * v[0, 1] + j02 * v[2, 1]
-    a2 = j00 * v[0, 2] + j02 * v[2, 2]
-    b0 = j11 * v[1, 0] + j12 * v[2, 0]
-    b1 = j11 * v[1, 1] + j12 * v[2, 1]
-    b2 = j11 * v[1, 2] + j12 * v[2, 2]
+    a0 = j00 * v[0][0] + j02 * v[2][0]
+    a1 = j00 * v[0][1] + j02 * v[2][1]
+    a2 = j00 * v[0][2] + j02 * v[2][2]
+    b0 = j11 * v[1][0] + j12 * v[2][0]
+    b1 = j11 * v[1][1] + j12 * v[2][1]
+    b2 = j11 * v[1][2] + j12 * v[2][2]
     # cov2d = t @ Vrk @ t^T with Vrk symmetric from upper-6 [xx,xy,xz,yy,yz,zz]
     sa0 = s0 * a0 + s1 * a1 + s2 * a2
     sa1 = s1 * a0 + s3 * a1 + s4 * a2
@@ -206,13 +211,13 @@ def preprocess(
     cyy = b0 * sb0 + b1 * sb1 + b2 * sb2
 
     # --- mip splatting opacity correction (preprocess.wgsl:226-236) ---
-    opacity = cloud.opacity
-    kernel = settings.kernel_size
+    opacity = opacity_in
+    kernel = st["kernel"]
     det0 = jnp.maximum(1e-6, cxx * cyy - cxy * cxy)
     det1 = jnp.maximum(1e-6, (cxx + kernel) * (cyy + kernel) - cxy * cxy)
     coef = jnp.sqrt(det0 / (det1 + 1e-6) + 1e-6)
     coef = jnp.where((det0 <= 1e-6) | (det1 <= 1e-6), 0.0, coef)
-    opacity = jnp.where(settings.mip_splatting, opacity * coef, opacity)
+    opacity = jnp.where(st["mip"], opacity * coef, opacity)
 
     # --- dilation + eigen decomposition (preprocess.wgsl:238-251) ---
     # pixel frame: flip off-diagonal sign (see module docstring)
@@ -261,13 +266,12 @@ def preprocess(
     py = (1.0 - ndc_y) * 0.5 * height
 
     # --- SH color (preprocess.wgsl:255-260) ---
-    cam_pos = camera.view_inv[:3, 3]
     dvx, dvy, dvz = x_w - cam_pos[0], y_w - cam_pos[1], z_w - cam_pos[2]
     inv_dn = 1.0 / jnp.maximum(
         jnp.sqrt(dvx * dvx + dvy * dvy + dvz * dvz), 1e-12
     )
     rgb_r, rgb_g, rgb_b = eval_sh(
-        cloud.sh, dvx * inv_dn, dvy * inv_dn, dvz * inv_dn, settings.max_sh_deg
+        sh_rows, dvx * inv_dn, dvy * inv_dn, dvz * inv_dn, st["max_sh_deg"]
     )
     rgb_r = jnp.maximum(0.0, rgb_r)
     rgb_g = jnp.maximum(0.0, rgb_g)
@@ -283,7 +287,6 @@ def preprocess(
     depth_q = z_clip_bits >> np.uint32(32 - depth_bits)
 
     # --- tile rect ---
-    slots = config.tile_slots
     rx0 = jnp.floor((px - ext_x) / ts_x)
     rx1 = jnp.floor((px + ext_x) / ts_x)
     ry0 = jnp.floor((py - ext_y) / ts_y)
@@ -300,28 +303,21 @@ def preprocess(
     n_rect = w_t * h_t
 
     # --- packed record (shared by all slots of a splat) ---
+    half_a = 0.5 * conic_a
+    half_c = 0.5 * conic_c
     w0, w1, w2, w3 = packing.pack_record(
-        px, py, 0.5 * conic_a, conic_b, 0.5 * conic_c, opacity,
-        (rgb_r, rgb_g, rgb_b), cq
+        px, py, half_a, conic_b, half_c, opacity, (rgb_r, rgb_g, rgb_b), cq
     )
 
-    # --- emit slots: row-major enumeration of the true rect through the
-    # static slot budget.  4 slots cover any 1x4 / 4x1 / 2x2 rect exactly;
-    # rects with more than `slots` tiles lose their tail tiles (reported via
-    # diagnostics; the Pallas compaction path raises the budget cheaply).
-    #
     # Tight culling: a slot is only emitted if the splat's cutoff ellipse
     # actually reaches its tile — the exact minimum of the convex quadratic
     # a(d) = ha dx^2 + hb dx dy + hc dy^2 over the tile's pixel-center box
     # (unconstrained minimum if the center is inside, else the best of the
     # four clamped edge minimizers).  The reference has no equivalent (its
     # hardware quads cover the full AABB and fragments discard), so this
-    # only removes zero-contribution instances. ---
-    half_a = 0.5 * conic_a
-    half_c = 0.5 * conic_c
-
+    # only removes zero-contribution instances.
     def rect_min_a(x0, x1, y0, y1):
-        inside = (x0 <= 0.0) & (0.0 <= x1) & (y0 <= 0.0) & (0.0 <= y1)
+        inside_r = (x0 <= 0.0) & (0.0 <= x1) & (y0 <= 0.0) & (0.0 <= y1)
 
         def edge_x(e):
             dy_s = jnp.clip(-conic_b * e / jnp.maximum(2.0 * half_c, 1e-20), y0, y1)
@@ -334,24 +330,108 @@ def preprocess(
         best = jnp.minimum(
             jnp.minimum(edge_x(x0), edge_x(x1)), jnp.minimum(edge_y(y0), edge_y(y1))
         )
-        return jnp.where(inside, 0.0, best)
+        return jnp.where(inside_r, 0.0, best)
 
-    invalid_key = jnp.uint32(0xFFFFFFFF)
-    keys_slots = []
-    mask = jnp.zeros((n,), jnp.uint32)
-    for j in range(slots):
-        dy = j // w_t
-        dx = j - dy * w_t
-        tx = tx0 + dx
-        ty = ty0 + dy
-        tile = ty * tx_tiles + tx
-        # tile pixel-center box relative to the splat center
+    def reaches(tx, ty):
+        """ellipse-reaches-tile test for tile coords (tx, ty)."""
         bx0 = tx.astype(jnp.float32) * ts_x + 0.5 - px
         bx1 = bx0 + (ts_x - 1)
         by0 = ty.astype(jnp.float32) * ts_y + 0.5 - py
         by1 = by0 + (ts_y - 1)
-        reaches = rect_min_a(bx0, bx1, by0, by1) <= 2.0 * CUTOFF
-        slot_ok = visible & (j < n_rect) & (dy < h_t) & reaches
+        return rect_min_a(bx0, bx1, by0, by1) <= 2.0 * CUTOFF
+
+    return dict(
+        visible=visible,
+        depth_q=depth_q,
+        words=(w0, w1, w2, w3),
+        tx0=tx0,
+        ty0=ty0,
+        w_t=w_t,
+        h_t=h_t,
+        n_rect=n_rect,
+        reaches=reaches,
+    )
+
+
+def iter_slots(d, slots: int, tx_tiles: int):
+    """Yield (j, slot_ok, tile) over the row-major rect walk of `d`
+    (= core_math output).  The walk carries (dx, dy) incrementally instead
+    of dy = j // w_t: identical enumeration, and integer division by a
+    per-lane vector is unavailable inside Mosaic kernels."""
+    dx = jnp.zeros_like(d["tx0"])
+    dy = jnp.zeros_like(d["tx0"])
+    for j in range(slots):
+        tx = d["tx0"] + dx
+        ty = d["ty0"] + dy
+        tile = ty * tx_tiles + tx
+        slot_ok = (
+            d["visible"] & (j < d["n_rect"]) & (dy < d["h_t"]) & d["reaches"](tx, ty)
+        )
+        yield j, slot_ok, tile
+        if j + 1 < slots:
+            wrap = dx + 1 >= d["w_t"]
+            dx = jnp.where(wrap, 0, dx + 1)
+            dy = dy + wrap.astype(jnp.int32)
+
+
+def scalars_from_pytrees(camera: CameraParams, settings: DeviceSettings):
+    """Extract the plain-scalar camera/settings form core_math consumes."""
+    view = tuple(tuple(camera.view[i, j] for j in range(4)) for i in range(4))
+    proj = tuple(tuple(camera.proj[i, j] for j in range(4)) for i in range(4))
+    cam_pos = tuple(camera.view_inv[i, 3] for i in range(3))
+    focal = (camera.focal[0], camera.focal[1])
+    st = dict(
+        cb_min=tuple(settings.clipping_box_min[i] for i in range(3)),
+        cb_max=tuple(settings.clipping_box_max[i] for i in range(3)),
+        center=tuple(settings.scene_center[i] for i in range(3)),
+        gaussian_scaling=settings.gaussian_scaling,
+        kernel=settings.kernel_size,
+        walltime=settings.walltime,
+        extend=settings.scene_extend,
+        mip=settings.mip_splatting,
+        max_sh_deg=settings.max_sh_deg,
+    )
+    return view, proj, cam_pos, focal, st
+
+
+def preprocess(
+    cloud: DeviceCloud,
+    camera: CameraParams,
+    settings: DeviceSettings,
+    *,
+    width: int,
+    height: int,
+    config: RasterConfig,
+    compressed: bool = False,
+    emit: str = "slots",
+):
+    """emit="slots": materialized (M_pad,) slot-instance stream (PreprocessOut,
+    feeds lax.sort directly or the standalone compactor).  emit="packed":
+    per-splat words for the fused emission+compaction kernel
+    (PreprocessPacked)."""
+    n = cloud.opacity.shape[0]
+    tx_tiles, ty_tiles = config.tiles_for(width, height)
+    tile_bits, depth_bits = config.key_bits(width, height)
+
+    view, proj, cam_pos, focal, st = scalars_from_pytrees(camera, settings)
+    d = core_math(
+        (cloud.xyz[0], cloud.xyz[1], cloud.xyz[2]),
+        tuple(cloud.cov[i] for i in range(6)),
+        cloud.opacity,
+        cloud.sh,
+        view, proj, cam_pos, focal, st,
+        width=width, height=height, config=config, compressed=compressed,
+    )
+    visible = d["visible"]
+    depth_q = d["depth_q"]
+    w0, w1, w2, w3 = d["words"]
+    tx0, ty0, w_t, h_t, n_rect = d["tx0"], d["ty0"], d["w_t"], d["h_t"], d["n_rect"]
+
+    invalid_key = jnp.uint32(0xFFFFFFFF)
+    slots = config.tile_slots
+    keys_slots = []
+    mask = jnp.zeros((n,), jnp.uint32)
+    for j, slot_ok, tile in iter_slots(d, slots, tx_tiles):
         if emit == "packed":
             mask = mask | (slot_ok.astype(jnp.uint32) << np.uint32(j))
             continue

@@ -9,6 +9,8 @@ shader's runtime degree branches, every band is evaluated and masked by
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
+from jax import lax
 
 SH_C0 = 0.28209479177387814
 SH_C1 = 0.4886025119029199
@@ -34,10 +36,12 @@ def eval_sh(sh: jnp.ndarray, x, y, z, max_sh_deg):
     """Evaluate SH color.
 
     Args:
-      sh: (48, N) coefficients, rows ordered coef-major (row 3c+ch), f16 or
-        f32; compute in f32.  COLUMN-major so each coefficient row is a
-        contiguous (N,) read — extracting 48 strided columns from a
-        row-major (N, 48) array costs 48 relayout passes on TPU.
+      sh: (24, N) uint32 rows, each packing TWO f16 coefficients
+        (coefficient 2p in the low half of row p, 2p+1 in the high half;
+        flat coefficient index k = 3*coef + channel).  This mirrors the
+        reference's 2-per-u32 f16 packing (preprocess.wgsl:114-154 /
+        pointcloud.rs f16 SH buffer) in COLUMN-major form: each row is a
+        contiguous (N,) read, and the wire format is half the f32 bytes.
       x, y, z: (N,) unit view direction components.
       max_sh_deg: traced int degree in [0, 3].
 
@@ -45,7 +49,13 @@ def eval_sh(sh: jnp.ndarray, x, y, z, max_sh_deg):
     (preprocess.wgsl:151); clamping to >= 0 happens at the call site
     (preprocess.wgsl:257-258).
     """
-    flat = sh
+
+    def coef(k):
+        from websplat_tpu.ops.packing import f16_bits_to_f32
+
+        row = sh[k // 2]
+        bits = row if k % 2 == 0 else row >> np.uint32(16)
+        return f16_bits_to_f32(bits)
 
     xx, yy, zz = x * x, y * y, z * z
     xy, yz, xz = x * y, y * z, x * z
@@ -76,8 +86,8 @@ def eval_sh(sh: jnp.ndarray, x, y, z, max_sh_deg):
     ]
     channels = []
     for ch in range(3):
-        acc = basis[0] * flat[ch].astype(jnp.float32)
+        acc = basis[0] * coef(ch)
         for c in range(1, 16):
-            acc = acc + basis[c] * flat[3 * c + ch].astype(jnp.float32)
+            acc = acc + basis[c] * coef(3 * c + ch)
         channels.append(acc + 0.5)
     return tuple(channels)

@@ -41,13 +41,16 @@ def upload_cloud(cloud: GaussianCloud) -> DeviceCloud:
     the preprocess reads it once per frame).  Arrays are transposed to the
     COLUMN-major device layout here, once (see DeviceCloud)."""
     n = cloud.xyz.shape[0]
+    sh48 = np.ascontiguousarray(
+        cloud.sh.reshape(n, 48).T.astype(np.float16)
+    )  # (48, N) f16
+    bits = sh48.view(np.uint16).astype(np.uint32)
+    sh_packed = bits[0::2] | (bits[1::2] << np.uint32(16))  # (24, N)
     return DeviceCloud(
         xyz=jnp.asarray(np.ascontiguousarray(cloud.xyz.T), jnp.float32),
         cov=jnp.asarray(np.ascontiguousarray(cloud.cov.T).astype(np.float32)),
         opacity=jnp.asarray(cloud.opacity.astype(np.float32)),
-        sh=jnp.asarray(
-            np.ascontiguousarray(cloud.sh.reshape(n, 48).T), jnp.float16
-        ),
+        sh=jnp.asarray(sh_packed),
     )
 
 
@@ -114,19 +117,15 @@ def render_frame_impl(
         and config.tile_slots <= 8
     )
     if fused_ok:
-        from websplat_tpu.ops.emit_compact_pallas import emit_compact
+        from websplat_tpu.ops.frontend_pallas import fused_frontend
 
-        pre = preprocess(
-            cloud, camera, settings, width=width, height=height, config=config,
-            compressed=compressed, emit="packed",
-        )
         n = cloud.opacity.shape[0]
         capacity = max(4096, int(config.instance_capacity_factor * n))
-        keys, payload, _, num_dropped = emit_compact(
-            pre.depth_q, pre.rect, pre.words,
-            slots=config.tile_slots, tx_tiles=tx_tiles,
-            depth_bits=depth_bits_, capacity=capacity,
+        keys, payload, num_visible, num_clamped, _, num_dropped = fused_frontend(
+            cloud, camera, settings, width=width, height=height,
+            config=config, compressed=compressed, capacity=capacity,
         )
+        pre = None
     else:
         pre = preprocess(
             cloud, camera, settings, width=width, height=height, config=config,
@@ -163,8 +162,8 @@ def render_frame_impl(
         )
     if return_diag:
         return img, dict(
-            num_visible=pre.num_visible,
-            num_clamped=pre.num_clamped,
+            num_visible=num_visible if pre is None else pre.num_visible,
+            num_clamped=num_clamped if pre is None else pre.num_clamped,
             num_instances=ranges[-1],
             num_dropped=num_dropped,
         )
