@@ -63,3 +63,39 @@ def test_pallas_early_exit_consistency(rng):
     (img_fast, _), _ = _render(cloud, cam, args, "pallas", transmittance_eps=1e-4), None
     (img_exact, _), _ = _render(cloud, cam, args, "pallas", transmittance_eps=0.0), None
     assert np.abs(img_fast - img_exact).max() < 1e-3
+
+
+def test_giant_splat_falloff(rng):
+    """A splat with f16-SUBNORMAL conic coefficients (sigma of hundreds of
+    px) must still render a smooth Gaussian falloff, not a solid box: the
+    record decode keeps f16 subnormals (reference packs f16 eigenvectors,
+    preprocess.wgsl:264-268, and its hardware interpolation never flushes).
+    """
+    import numpy as np
+
+    from websplat_tpu.io.loader import GaussianCloud
+    from websplat_tpu.utils.gmath import build_cov
+
+    n = 1
+    xyz = np.array([[0.0, 0.0, 0.0]], np.float32)
+    scale = np.full((n, 3), 3.0, np.float32)  # huge in world units
+    rot = np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
+    cov = build_cov(rot, scale)
+    sh = np.zeros((n, 16, 3), np.float32)
+    sh[:, 0, :] = 1.0
+    cloud = GaussianCloud(
+        xyz=xyz, cov=cov.astype(np.float16), opacity=np.full((n,), 0.9, np.float32),
+        sh=sh, sh_deg=3, num_points=n,
+    )
+    cam = make_camera(viewport=(W, H))
+    # fit_near_far self-culls single-point scenes (znear fit uses Euclidean
+    # distance vs axial z) -- probe with explicit near/far
+    cfg = RasterConfig(raster_backend="pallas", tile_slots=16)
+    r = GaussianRenderer(cloud, cfg)
+    img = r.render(cam, (W, H), SplattingArgs(), fit_near_far=False, with_diag=True)
+    assert r._last_diag["num_visible"] == 1, r._last_diag
+    # center must be brighter than the frame edge and the falloff monotone-ish
+    c = img[H // 2, W // 2].mean()
+    e = img[2, 2].mean()
+    assert c > 0.05, f"center {c}"
+    assert c > e + 0.01, f"no falloff: center {c} edge {e}"

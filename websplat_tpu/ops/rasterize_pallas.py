@@ -56,14 +56,21 @@ GROUP_BATCH = 4  # groups whose instruction streams are interleaved for ILP
 
 
 def _f16_vec(bits_u32):
-    """Vectorized f16 decode: u32 lanes (f16 pattern in low 16) -> f32."""
+    """Vectorized f16 decode: u32 lanes (f16 pattern in low 16) -> f32.
+
+    Subnormals decode exactly (value = ±man * 2^-24): a giant splat's conic
+    coefficients can be f16-subnormal (sigma ≳ 300 px), and flushing them to
+    zero would rasterize it as a solid box instead of a Gaussian."""
     h = bits_u32 & 0xFFFF
     sign = (h & 0x8000) << 16
     exp = (h >> 10) & 0x1F
     man = h & 0x3FF
     f32_bits = sign | ((exp + 112) << 23) | (man << 13)
     val = pltpu.bitcast(f32_bits.astype(jnp.uint32), jnp.float32)
-    return jnp.where(exp == 0, 0.0, val)
+    sub = jnp.where(sign != 0, -1.0, 1.0) * (
+        man.astype(jnp.int32).astype(jnp.float32) * 5.9604645e-8
+    )
+    return jnp.where(exp == 0, sub, val)
 
 
 def _gm_shuffle(s):
