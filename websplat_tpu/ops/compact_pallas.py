@@ -70,12 +70,14 @@ def _compact_kernel(capacity_pad: int, n_pairs: int):
                 sems.at[slot],
             )
 
-        # wait for the previous grid step's output DMAs before reusing the
-        # staging buffers (overlaps the stores with this step's compute)
-        @pl.when(b > 0)
-        def _():
-            for s in range(STREAMS):
-                out_copy(s, (b - 1) * STREAMS + s).wait()
+        # Output DMAs of consecutive sub-blocks OVERLAP in HBM (each writes a
+        # full BLOCK; the next sub-block's data begins inside this one's
+        # sentinel tail), so their completion must be ORDERED: each DMA is
+        # waited before the next one starts (chained below).  This also
+        # frees the staging buffer before its reuse.  Letting all four
+        # stream DMAs fly concurrently (the original design) left the
+        # overlap outcome to the DMA engines — a nondeterministic
+        # lost-instance race.
 
         lane = lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)
         # STREAMS independent sub-blocks, ops emitted step-interleaved: the
@@ -108,8 +110,29 @@ def _compact_kernel(capacity_pad: int, n_pairs: int):
             xs = [jnp.where(a, r, x) for a, r, x in zip(arrives, rolled, xs)]
 
         # sentinel-fill the pad lanes between v_b and the 128-aligned count
-        # (leftover shuffle copies there could masquerade as valid keys)
+        # (leftover shuffle copies there could masquerade as valid keys),
+        # then stage + start each DMA with the chained-order protocol: wait
+        # the PREVIOUS sub-block's DMA (sem slot (s-1) % STREAMS; the one
+        # from the previous grid step for s == 0) before overwriting staging
+        # or starting an overlapping write.
         for s in range(STREAMS):
+            prev = (s - 1) % STREAMS
+
+            def _wait_prev(prev=prev):
+                # descriptor offset is irrelevant for a wait (sem decrement)
+                pltpu.make_async_copy(
+                    staged.at[prev],
+                    out_hbm.at[:, pl.ds(clamped_off(b * STREAMS + s), BLOCK)],
+                    sems.at[prev],
+                ).wait()
+
+            if s == 0:
+                @pl.when(b > 0)
+                def _():
+                    _wait_prev()
+            else:
+                _wait_prev()
+
             v = jnp.sum(1 - invalids[s])
             key_row = jnp.where(lane >= v, jnp.uint32(INVALID_KEY), xs[s][0:1, :])
             staged[s] = jnp.concatenate([key_row, xs[s][1:8]], axis=0)
@@ -117,8 +140,12 @@ def _compact_kernel(capacity_pad: int, n_pairs: int):
 
         @pl.when(b == n_pairs - 1)
         def _():
-            for s in range(STREAMS):
-                out_copy(s, b * STREAMS + s).wait()
+            # only the final DMA is still outstanding under the chain
+            pltpu.make_async_copy(
+                staged.at[STREAMS - 1],
+                out_hbm.at[:, pl.ds(clamped_off(b * STREAMS + STREAMS - 1), BLOCK)],
+                sems.at[STREAMS - 1],
+            ).wait()
 
     return kernel
 

@@ -107,21 +107,31 @@ def make_splat_sharded_renderer(
     def shard_fn(cloud, camera, settings, background):
         my = lax.axis_index(SPLAT_AXIS)
 
-        # 1. local preprocess + sort (tile-major keys)
-        pre = preprocess(
-            cloud, camera, settings, width=width, height=height, config=config,
-            compressed=compressed,
-        )
+        # 1. local preprocess + emission + compaction + sort (tile-major keys)
         from websplat_tpu.render.renderer import use_pallas_ops
 
         pallas_ok = use_pallas_ops(multi_device=True)
-        keys, payload = pre.keys, pre.payload
-        if config.compact and pallas_ok:
-            from websplat_tpu.ops.compact_pallas import compact_instances
+        fused_ok = (
+            config.compact and pallas_ok
+            and tx_tiles <= 127 and ty_tiles <= 127 and config.tile_slots <= 8
+        )
+        if fused_ok:
+            from websplat_tpu.ops.frontend_pallas import fused_frontend
 
             n_loc = cloud.opacity.shape[0]
             capacity = max(4096, int(config.instance_capacity_factor * n_loc))
-            keys, payload, _, _ = compact_instances(keys, payload, capacity=capacity)
+            keys, payload, nvis, _, _, _ = fused_frontend(
+                cloud, camera, settings, width=width, height=height,
+                config=config, compressed=compressed, capacity=capacity,
+            )
+            num_visible_local = nvis
+        else:
+            pre = preprocess(
+                cloud, camera, settings, width=width, height=height,
+                config=config, compressed=compressed,
+            )
+            keys, payload = pre.keys, pre.payload
+            num_visible_local = pre.num_visible
         sk, sp = sort_instances(keys, payload, backend=config.sort_backend)
 
         # 2. cut the sorted stream into D region buffers (fixed capacity)
@@ -206,7 +216,7 @@ def make_splat_sharded_renderer(
                 mp, ranges, background,
                 width=width, height=region_h, config=config,
             )
-        total_visible = lax.psum(pre.num_visible, SPLAT_AXIS)
+        total_visible = lax.psum(num_visible_local, SPLAT_AXIS)
         total_dropped = lax.psum(dropped, SPLAT_AXIS)
         return img, total_visible, total_dropped
 
