@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""PSNR of the (TPU) rendered frame vs the NumPy oracle.
+
+The BASELINE quality bar is "within 0.5 dB PSNR of the WGPU reference";
+no reference renders or datasets ship in this environment, so the NumPy
+oracle (websplat_tpu/ops/oracle.py — the reference's math, f32, no packing)
+stands in.  The interpret-mode CPU tests already pin this per-op; this
+script checks the REAL Mosaic-compiled TPU pipeline end-to-end.
+
+Usage: python scripts/psnr_check.py [n_splats] [width] [height]
+"""
+
+import sys
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tests")
+
+import numpy as np
+
+from websplat_tpu.config import RasterConfig, SplattingArgs, resolve_settings
+from websplat_tpu.models.camera import CameraUniforms
+from websplat_tpu.ops.oracle import render_oracle
+from websplat_tpu.render.renderer import GaussianRenderer
+from websplat_tpu.utils.image import psnr
+from synth import make_camera, make_cloud
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000
+    width = int(sys.argv[2]) if len(sys.argv) > 2 else 400
+    height = int(sys.argv[3]) if len(sys.argv) > 3 else 300
+
+    rng = np.random.default_rng(0)
+    cloud = make_cloud(rng, n=n, extent=2.0, scale_lognormal=(-5.8, 1.0))
+    cam = make_camera(viewport=(width, height), distance=3.0)
+    cam.fit_near_far(*cloud.aabb)
+    args = SplattingArgs(background_color=(0.1, 0.12, 0.2))
+    settings = resolve_settings(args, cloud)
+    uni = CameraUniforms.from_camera(cam, (width, height))
+
+    renderer = GaussianRenderer(cloud, RasterConfig())
+    img = renderer.render(cam, (width, height), args, fit_near_far=False,
+                          with_diag=True)
+    ref = render_oracle(cloud, uni, settings, width, height)
+    d = renderer._last_diag
+    print(
+        f"n={n} {width}x{height} visible={int(d['num_visible'])} "
+        f"instances={int(d['num_instances'])} dropped={int(d['num_dropped'])}"
+    )
+    print(f"PSNR vs oracle: {psnr(img, ref):.2f} dB "
+          f"(budget: f16 record + RGB9E5 + depth quantization + tie order)")
+
+
+if __name__ == "__main__":
+    main()

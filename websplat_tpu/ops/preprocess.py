@@ -340,12 +340,23 @@ def core_math(
         by1 = by0 + (ts_y - 1)
         return rect_min_a(bx0, bx1, by0, by1) <= 2.0 * CUTOFF
 
+    # center tile of the rect (for the clamped-splat center-out walk):
+    # INTEGER rect midpoint, not floor(px/ts) — float rounding can differ
+    # between the XLA and Mosaic compilations of the same math at tile
+    # boundaries, and the two frontends must emit identical instance sets
+    ct_x = tx0 + (tx1 - tx0) // 2
+    ct_y = ty0 + (ty1 - ty0) // 2
+
     return dict(
         visible=visible,
         depth_q=depth_q,
         words=(w0, w1, w2, w3),
         tx0=tx0,
         ty0=ty0,
+        tx1=tx1,
+        ty1=ty1,
+        ct_x=ct_x,
+        ct_y=ct_y,
         w_t=w_t,
         h_t=h_t,
         n_rect=n_rect,
@@ -353,20 +364,75 @@ def core_math(
     )
 
 
-def iter_slots(d, slots: int, tx_tiles: int):
-    """Yield (j, slot_ok, tile) over the row-major rect walk of `d`
-    (= core_math output).  The walk carries (dx, dy) incrementally instead
-    of dy = j // w_t: identical enumeration, and integer division by a
-    per-lane vector is unavailable inside Mosaic kernels."""
+# Center-out candidate offset sequences for CLAMPED splats (n_rect > slots):
+# the slot budget then keeps the highest-contribution tiles around the splat
+# center and drops only the periphery.  (A row-major walk drops entire
+# bottom rows: measured 25 -> 31 dB PSNR vs the oracle on a dense scene
+# from this ordering change alone at slots=6.)  Three shape classes so
+# elongated rects don't waste budget on out-of-rect candidates.
+
+
+def _spiral(x_weight: float, n: int = 64):
+    offs = [
+        (dx, dy) for dx in range(-7, 8) for dy in range(-7, 8)
+    ]
+    offs.sort(key=lambda o: (o[0] * o[0] * x_weight + o[1] * o[1] / x_weight,
+                             abs(o[0]) + abs(o[1]), o[1], o[0]))
+    return offs[:n]
+
+
+_SEQ_SQUARE = _spiral(1.0)
+_SEQ_WIDE = _spiral(0.25)  # prefer x offsets (wide rects)
+_SEQ_TALL = [(y, x) for (x, y) in _SEQ_WIDE]
+MAX_SLOT_SEQ = len(_SEQ_SQUARE)
+
+
+def iter_slots(d, slots: int, tx_tiles: int, center_out: bool = True):
+    """Yield (j, slot_ok, tile) over the slot walk of `d` (= core_math
+    output).
+
+    Splats whose rect fits the budget (n_rect <= slots) take the EXACT
+    row-major walk — every rect tile is enumerated, carried as incremental
+    (dx, dy) instead of dy = j // w_t (integer division by a per-lane vector
+    is unavailable inside Mosaic kernels).  CLAMPED splats instead take a
+    center-out candidate sequence classified by rect shape; out-of-rect
+    candidates waste budget only for them, and they are dropping tiles
+    either way — this chooses WHICH tiles drop by contribution."""
+    if slots > len(_SEQ_SQUARE):
+        raise ValueError(f"tile_slots > {len(_SEQ_SQUARE)} not supported")
     dx = jnp.zeros_like(d["tx0"])
     dy = jnp.zeros_like(d["tx0"])
+    # center_out=False keeps the pure row-major walk for ALL splats: the
+    # standalone emit_compact kernel reconstructs tiles row-major from the
+    # packed rect word, so the packed-emission path must match it (that
+    # fallback serves >127-tile viewports / >8-slot budgets only)
+    big = (d["n_rect"] > slots) if center_out else jnp.zeros_like(d["visible"])
+    wide = d["w_t"] >= 2 * d["h_t"]
+    tall = d["h_t"] >= 2 * d["w_t"]
     for j in range(slots):
-        tx = d["tx0"] + dx
-        ty = d["ty0"] + dy
-        tile = ty * tx_tiles + tx
-        slot_ok = (
-            d["visible"] & (j < d["n_rect"]) & (dy < d["h_t"]) & d["reaches"](tx, ty)
+        # row-major candidate (exact for small rects)
+        rm_tx = d["tx0"] + dx
+        rm_ty = d["ty0"] + dy
+        rm_ok = (j < d["n_rect"]) & (dy < d["h_t"])
+        # center-out candidate (clamped splats)
+        ox = jnp.where(
+            wide, _SEQ_WIDE[j][0], jnp.where(tall, _SEQ_TALL[j][0], _SEQ_SQUARE[j][0])
         )
+        oy = jnp.where(
+            wide, _SEQ_WIDE[j][1], jnp.where(tall, _SEQ_TALL[j][1], _SEQ_SQUARE[j][1])
+        )
+        co_tx = d["ct_x"] + ox
+        co_ty = d["ct_y"] + oy
+        co_ok = (
+            (co_tx >= d["tx0"]) & (co_tx <= d["tx1"])
+            & (co_ty >= d["ty0"]) & (co_ty <= d["ty1"])
+        )
+        tx = jnp.where(big, co_tx, rm_tx)
+        ty = jnp.where(big, co_ty, rm_ty)
+        tile = ty * tx_tiles + tx
+        # boolean algebra, not where-on-bools (Mosaic: unsupported i1 select)
+        cand_ok = (big & co_ok) | (~big & rm_ok)
+        slot_ok = d["visible"] & cand_ok & d["reaches"](tx, ty)
         yield j, slot_ok, tile
         if j + 1 < slots:
             wrap = dx + 1 >= d["w_t"]
@@ -431,7 +497,9 @@ def preprocess(
     slots = config.tile_slots
     keys_slots = []
     mask = jnp.zeros((n,), jnp.uint32)
-    for j, slot_ok, tile in iter_slots(d, slots, tx_tiles):
+    for j, slot_ok, tile in iter_slots(
+        d, slots, tx_tiles, center_out=(emit != "packed")
+    ):
         if emit == "packed":
             mask = mask | (slot_ok.astype(jnp.uint32) << np.uint32(j))
             continue
