@@ -243,8 +243,8 @@ def fused_frontend(
     slots = config.tile_slots
     tx_tiles, ty_tiles = config.tiles_for(width, height)
     _, depth_bits = config.key_bits(width, height)
-    if tx_tiles > 127 or ty_tiles > 127 or slots > 8:
-        raise ValueError("fused frontend limits: <=127 tiles per axis, <=8 slots")
+    if tx_tiles > 127 or ty_tiles > 127 or slots > 16:
+        raise ValueError("fused frontend limits: <=127 tiles per axis, <=16 slots")
 
     n_pad = -(-n // SPLATS) * SPLATS
     n_steps = n_pad // SPLATS

@@ -113,7 +113,8 @@ def make_splat_sharded_renderer(
         pallas_ok = use_pallas_ops(multi_device=True)
         fused_ok = (
             config.compact and pallas_ok
-            and tx_tiles <= 127 and ty_tiles <= 127 and config.tile_slots <= 8
+            and tx_tiles <= 127 and ty_tiles <= 127
+            and config.tile_slots <= (16 if jax.default_backend() == "tpu" else 8)
         )
         if fused_ok:
             from websplat_tpu.ops.frontend_pallas import fused_frontend

@@ -111,10 +111,15 @@ def render_frame_impl(
     pallas_ok = use_pallas_ops(multi_device)
     tx_tiles, ty_tiles = config.tiles_for(width, height)
     _, depth_bits_ = config.key_bits(width, height)
-    # fused emission+compaction needs the rect word's 7-bit tile coordinates
+    # the fused frontend computes everything in-kernel; its limits are the
+    # per-axis tile count (int packing of tile ids) and the slot walk tables.
+    # Off-TPU the kernel runs through the interpreter as one giant unrolled
+    # XLA program — beyond 8 slots the XLA *CPU* compiler segfaults, so the
+    # interpret path caps at 8 (Mosaic compiles 16 fine on hardware).
+    max_fused_slots = 16 if jax.default_backend() == "tpu" else 8
     fused_ok = (
         config.compact and pallas_ok and tx_tiles <= 127 and ty_tiles <= 127
-        and config.tile_slots <= 8
+        and config.tile_slots <= max_fused_slots
     )
     if fused_ok:
         from websplat_tpu.ops.frontend_pallas import fused_frontend
