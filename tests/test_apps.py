@@ -150,3 +150,28 @@ def test_viewer_smoke(dataset):
     server.shutdown()
     state.stop = True
     render_thread.join(timeout=60)
+
+
+def test_render_app_hdr(dataset):
+    """--hdr writes 16-bit PNGs (reference Rgba16Float path, lib.rs:192-196)."""
+    from websplat_tpu.apps.render import main
+
+    out = dataset / "renders_hdr"
+    main([str(dataset / "point_cloud.ply"), "--out", str(out), "--splits", "test",
+          "--hdr"])
+    img = read_png(str(out / "test" / "00000.png"))
+    assert img.dtype == np.uint16
+    assert img.shape == (48, 64, 3)
+
+
+def test_png_16bit_roundtrip(tmp_path, rng):
+    from websplat_tpu.utils.image import to_u16, write_png
+
+    img = rng.random((9, 11, 3)).astype(np.float32)
+    path = str(tmp_path / "x.png")
+    write_png(path, img, bit_depth=16)
+    back = read_png(path)
+    assert back.dtype == np.uint16
+    assert np.array_equal(back, to_u16(img))
+    # u16 quantization error is below 1e-4 -> effectively lossless vs f32
+    assert np.abs(back.astype(np.float64) / 65535.0 - img).max() < 1e-4

@@ -30,7 +30,7 @@ from websplat_tpu.render.renderer import GaussianRenderer
 from websplat_tpu.utils.image import psnr, read_png, to_u8, write_png
 
 
-def render_views(renderer, cameras, out_dir, split_name, args, psnr_vs=None):
+def render_views(renderer, cameras, out_dir, split_name, args, psnr_vs=None, hdr=False):
     os.makedirs(out_dir, exist_ok=True)
     psnrs = []
     t0 = time.time()
@@ -40,7 +40,7 @@ def render_views(renderer, cameras, out_dir, split_name, args, psnr_vs=None):
         cam.projection.resize(w, h)
         img = renderer.render(cam, (w, h), args, fit_near_far=True)
         name = f"{i:05d}.png"
-        write_png(os.path.join(out_dir, name), img)
+        write_png(os.path.join(out_dir, name), img, bit_depth=16 if hdr else 8)
         if psnr_vs is not None:
             ref_path = os.path.join(psnr_vs, split_name, name)
             if os.path.isfile(ref_path):
@@ -61,6 +61,9 @@ def main(argv=None):
     ap.add_argument("--out", default="renders")
     ap.add_argument("--splits", default="test,train")
     ap.add_argument("--psnr-vs", default=None)
+    ap.add_argument("--hdr", action="store_true",
+                    help="write 16-bit PNGs (reference --hdr renders to "
+                         "Rgba16Float, /root/reference/src/lib.rs:192-196)")
     ap.add_argument("--tile-slots", type=int, default=None)
     args_ns = ap.parse_args(argv)
 
@@ -85,6 +88,7 @@ def main(argv=None):
             split_name,
             sargs,
             psnr_vs=args_ns.psnr_vs,
+            hdr=args_ns.hdr,
         )
     print("done!")
 

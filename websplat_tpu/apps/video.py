@@ -32,6 +32,9 @@ def main(argv=None):
     ap.add_argument("--duration", type=float, default=None)
     ap.add_argument("--width", type=int, default=2048)
     ap.add_argument("--height", type=int, default=2048)
+    ap.add_argument("--hdr", action="store_true",
+                    help="write 16-bit PNG frames (reference renders video to "
+                         "Rgba32Float, /root/reference/src/bin/video.rs:96-158)")
     args_ns = ap.parse_args(argv)
 
     cloud, scene = load_inputs(args_ns.input, args_ns.scene)
@@ -49,7 +52,8 @@ def main(argv=None):
         cam = shot.sample(smoothstep(t))  # global time warp (video.rs:105-108)
         cam.projection.resize(w, h)
         img = renderer.render(cam, (w, h), sargs, fit_near_far=True)
-        write_png(os.path.join(args_ns.out, f"frame_{i:04d}.png"), img)
+        write_png(os.path.join(args_ns.out, f"frame_{i:04d}.png"), img,
+                  bit_depth=16 if args_ns.hdr else 8)
         print(f"  frame {i + 1}/{n_frames}", end="\r", flush=True)
     print(f"\nwrote {n_frames} frames to {args_ns.out}")
 

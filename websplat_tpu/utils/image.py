@@ -18,14 +18,36 @@ def to_u8(img: np.ndarray) -> np.ndarray:
     return (np.clip(np.asarray(img, dtype=np.float32), 0.0, 1.0) * 255.0).astype(np.uint8)
 
 
-def write_png(path: str, img: np.ndarray) -> None:
-    """Write an (H, W, 3|4) float [0,1] or uint8 image as PNG."""
-    if img.dtype != np.uint8:
-        img = to_u8(img)
+def to_u16(img: np.ndarray) -> np.ndarray:
+    """Linear float image -> u16 (the HDR output path: the reference renders
+    to Rgba16Float under --hdr, /root/reference/src/lib.rs:192-196, and
+    Rgba32Float for video frames, bin/video.rs:96-158; 16-bit PNG is the
+    widest depth PNG carries)."""
+    return (
+        np.clip(np.asarray(img, dtype=np.float32), 0.0, 1.0) * 65535.0 + 0.5
+    ).astype(np.uint16)
+
+
+def write_png(path: str, img: np.ndarray, bit_depth: int = 8) -> None:
+    """Write an (H, W, 3|4) float [0,1] or uint8/uint16 image as PNG.
+
+    bit_depth=16 writes a 16-bit-per-sample PNG (big-endian samples per the
+    PNG spec); float input is quantized with :func:`to_u16`.
+    """
+    if bit_depth == 8:
+        if img.dtype != np.uint8:
+            img = to_u8(img)
+    elif bit_depth == 16:
+        if img.dtype != np.uint16:
+            img = to_u16(img)
+    else:
+        raise ValueError(f"bit_depth must be 8 or 16, got {bit_depth}")
     if img.ndim != 3 or img.shape[2] not in (3, 4):
         raise ValueError(f"expected (H, W, 3|4) image, got {img.shape}")
     h, w, c = img.shape
     color_type = 2 if c == 3 else 6
+    if bit_depth == 16:
+        img = img.astype(">u2")  # PNG sample order is big-endian
 
     def chunk(tag: bytes, data: bytes) -> bytes:
         return (
@@ -35,7 +57,7 @@ def write_png(path: str, img: np.ndarray) -> None:
             + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 0)
     raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
     with open(path, "wb") as f:
         f.write(b"\x89PNG\r\n\x1a\n")
@@ -45,27 +67,32 @@ def write_png(path: str, img: np.ndarray) -> None:
 
 
 def read_png(path: str) -> np.ndarray:
-    """Minimal PNG reader for our own golden files (8-bit, color type 2/6)."""
+    """Minimal PNG reader for our own files (8/16-bit, color type 0/2/6).
+
+    Returns uint8 for 8-bit files, uint16 for 16-bit files.  PNG filtering
+    is byte-wise with the left-neighbor offset bpp = channels * bytes-per-
+    sample regardless of depth, so one code path covers both."""
     with open(path, "rb") as f:
         data = f.read()
     assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a png"
     pos = 8
     idat = b""
-    w = h = c = None
+    w = h = c = depth = None
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
         if tag == b"IHDR":
             w, h, depth, color_type = struct.unpack(">IIBB", body[:10])
-            assert depth == 8, "only 8-bit supported"
+            assert depth in (8, 16), "only 8/16-bit supported"
             c = {0: 1, 2: 3, 6: 4}[color_type]
         elif tag == b"IDAT":
             idat += body
         pos += 12 + length
     raw = zlib.decompress(idat)
-    stride = w * c
-    out = np.empty((h, w, c), dtype=np.uint8)
+    bpp = c * (depth // 8)
+    stride = w * bpp
+    lines = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
         ftype = raw[y * (stride + 1)]
@@ -73,28 +100,32 @@ def read_png(path: str) -> np.ndarray:
         if ftype == 0:
             pass
         elif ftype == 1:  # sub
-            for i in range(c, stride):
-                line[i] = (line[i] + line[i - c]) & 0xFF
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
         elif ftype == 2:  # up
             line = (line + prev) & 0xFF
         elif ftype == 3:  # average
             for i in range(stride):
-                a = line[i - c] if i >= c else 0
+                a = line[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + ((int(a) + int(prev[i])) >> 1)) & 0xFF
         elif ftype == 4:  # paeth
             for i in range(stride):
-                a = int(line[i - c]) if i >= c else 0
+                a = int(line[i - bpp]) if i >= bpp else 0
                 b = int(prev[i])
-                cc = int(prev[i - c]) if i >= c else 0
+                cc = int(prev[i - bpp]) if i >= bpp else 0
                 p = a + b - cc
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
                 line[i] = (line[i] + pred) & 0xFF
         else:
             raise ValueError(f"unsupported png filter {ftype}")
-        out[y] = line.reshape(w, c)
+        lines[y] = line
         prev = line
-    return out
+    if depth == 16:
+        return (
+            lines.reshape(h, w, c, 2).astype(np.uint16)[..., 0] << 8
+        ) | lines.reshape(h, w, c, 2).astype(np.uint16)[..., 1]
+    return lines.reshape(h, w, c)
 
 
 def psnr(a: np.ndarray, b: np.ndarray, max_val: float = 1.0) -> float:
