@@ -175,3 +175,76 @@ def test_png_16bit_roundtrip(tmp_path, rng):
     assert np.array_equal(back, to_u16(img))
     # u16 quantization error is below 1e-4 -> effectively lossless vs f32
     assert np.abs(back.astype(np.float64) / 65535.0 - img).max() < 1e-4
+
+
+def test_viewer_view_keys_and_tristate(dataset):
+    """View-selection keys (lib.rs:741-787), tri-state settings (ui.rs:438-496)
+    and touch forwarding (controller.rs:145-228) through the HTTP handler."""
+    from websplat_tpu.apps.viewer import ViewerState
+    from websplat_tpu.config import RasterConfig
+    from websplat_tpu.io.loader import load_gaussian_cloud
+    from websplat_tpu.models.scene import Scene
+
+    cloud = load_gaussian_cloud(str(dataset / "point_cloud.ply"))
+    scene = Scene.from_json(str(dataset / "cameras.json"))
+    state = ViewerState(cloud, scene, 64, 48, RasterConfig.for_backend())
+
+    # digit key -> snap animation to that scene camera
+    assert state.handle_view_key("2")
+    assert state.current_view == 2
+    assert state.animation is not None
+    state.animation = None
+    # PageUp/PageDown wrap through views
+    assert state.handle_view_key("PageUp")
+    assert state.current_view == 3
+    assert state.handle_view_key("PageDown")
+    assert state.current_view == 2
+    # N snaps to the nearest camera, R to a random one
+    assert state.handle_view_key("n")
+    assert state.handle_view_key("r")
+    # digits beyond the camera count are ignored
+    assert not state.handle_view_key("9")
+    # unrelated keys fall through to the controller
+    assert not state.handle_view_key("w")
+
+    # tri-state settings round-trip through the POST handler semantics
+    state.settings["kernel"] = 0.2
+    state.settings["mip"] = True
+    for value, expect in ((None, None), ("auto", None), (0.1, 0.1)):
+        state.settings["kernel"] = None if value in (None, "auto") else float(value)
+        assert state.settings["kernel"] == expect
+
+    # touch gestures reach the controller
+    ctl = state.controller
+    ctl.process_touch(1, (10.0, 10.0), "started")
+    ctl.process_touch(2, (30.0, 10.0), "started")
+    ctl.process_touch(2, (40.0, 10.0), "moved")
+    assert ctl.scroll != 0.0 or ctl.shift.any() or ctl.rotation.any()
+    ctl.process_touch(1, (0, 0), "ended")
+    ctl.process_touch(2, (0, 0), "ended")
+
+
+def test_viewer_lazy_redraw(dataset):
+    """Idle viewer (capped walltime, decayed inputs) stops re-rendering
+    (lib.rs:829-838)."""
+    import threading
+    import time
+
+    from websplat_tpu.apps.viewer import ViewerState
+    from websplat_tpu.config import RasterConfig
+    from websplat_tpu.io.loader import load_gaussian_cloud
+    from websplat_tpu.models.scene import Scene
+
+    cloud = load_gaussian_cloud(str(dataset / "point_cloud.ply"))
+    scene = Scene.from_json(str(dataset / "cameras.json"))
+    state = ViewerState(cloud, scene, 32, 16, RasterConfig.for_backend())
+    state.walltime = 5.0  # grow-in capped -> args become stable
+    t = threading.Thread(target=state.render_loop, daemon=True)
+    t.start()
+    deadline = time.time() + 120
+    while time.time() < deadline and state.lazy_skips < 3:
+        time.sleep(0.2)
+    state.stop = True
+    t.join(timeout=60)
+    assert state.lazy_skips >= 3, "render loop never settled into lazy skips"
+    assert state.frame_png  # a frame was rendered before settling

@@ -59,8 +59,12 @@ button { margin:2px; }
   <label>gaussian scaling <input type="range" id="scaling" min="0.01" max="1" step="0.01" value="1"></label>
   <label>max SH degree <input type="range" id="shdeg" min="0" max="3" step="1" value="3"></label>
   <label>background <input type="color" id="bg" value="#000000"></label>
-  <label><input type="checkbox" id="mip"> mip splatting</label>
-  <label>kernel size <input type="range" id="kernel" min="0" max="0.5" step="0.01" value="0.3"></label>
+  <label>mip splatting
+    <select id="mip"><option value="auto">auto</option>
+      <option value="on">on</option><option value="off">off</option></select>
+  </label>
+  <label><input type="checkbox" id="kernelauto" checked> kernel size auto</label>
+  <label>kernel size <input type="range" id="kernel" min="0" max="0.5" step="0.01" value="0.3" disabled></label>
   <div id="cameras"></div>
   <button onclick="post({type:'tracking_shot'})">tracking shot (T)</button>
   <button onclick="post({type:'save_view'})">save view (C)</button>
@@ -83,14 +87,34 @@ window.onkeydown = e => {
   if (e.key === 't') post({type:'tracking_shot'});
   else if (e.key === 'c') post({type:'save_view'});
   else if (e.key === 'r' && e.altKey) post({type:'reload'});
+  else if (e.key === 'u') {  // hide UI, client-side like the reference (lib.rs:753)
+    const p = document.getElementById('panel');
+    p.style.display = p.style.display === 'none' ? 'block' : 'none';
+  }
   else post({type:'key', key:e.key, pressed:true});
 };
 window.onkeyup = e => post({type:'key', key:e.key, pressed:false});
-for (const id of ['scaling','shdeg','kernel']) {
+// touch gestures forwarded per-touch (rotate / two-finger pinch+pan)
+for (const [ev, phase] of [['touchstart','started'], ['touchmove','moved'],
+                           ['touchend','ended'], ['touchcancel','cancelled']]) {
+  cv.addEventListener(ev, e => {
+    for (const t of e.changedTouches)
+      post({type:'touch', id:t.identifier, x:t.clientX, y:t.clientY, phase:phase});
+    e.preventDefault();
+  }, {passive:false});
+}
+for (const id of ['scaling','shdeg']) {
   document.getElementById(id).oninput = e => post({type:'setting', name:id, value:parseFloat(e.target.value)});
 }
 document.getElementById('bg').oninput = e => post({type:'setting', name:'bg', value:e.target.value});
-document.getElementById('mip').onchange = e => post({type:'setting', name:'mip', value:e.target.checked});
+document.getElementById('mip').onchange = e => post({type:'setting', name:'mip',
+  value: e.target.value === 'auto' ? 'auto' : e.target.value === 'on'});
+const ka = document.getElementById('kernelauto'), ks = document.getElementById('kernel');
+ka.onchange = e => {
+  ks.disabled = ka.checked;
+  post({type:'setting', name:'kernel', value: ka.checked ? 'auto' : parseFloat(ks.value)});
+};
+ks.oninput = e => { if (!ka.checked) post({type:'setting', name:'kernel', value:parseFloat(ks.value)}); };
 async function loop() {
   while (true) {
     const t0 = performance.now();
@@ -140,6 +164,11 @@ class ViewerState:
         self.clock = FrameClock()
         self.frame_png = b""
         self.stop = False
+        self.current_view = 0
+        # lazy redraw (lib.rs:829-838): skip the scene render when camera +
+        # settings + walltime are unchanged since the previous frame
+        self._last_sig = None
+        self.lazy_skips = 0
         if scene is not None and scene.num_cameras() > 0:
             self.camera = scene.cameras()[0].to_perspective()
             # controller center from mean camera look-at (lib.rs:507-526)
@@ -193,6 +222,39 @@ class ViewerState:
                 duration=0.2, looping=False, sampler=Transition(self.camera, target)
             )
 
+    def handle_view_key(self, key: str) -> bool:
+        """View-selection keys (lib.rs:741-787): digits 0-9 jump to scene
+        camera i, PageUp/PageDown step through views, R picks a random view,
+        N snaps to the camera nearest the current position."""
+        if self.scene is None or self.scene.num_cameras() == 0:
+            return False
+        cams = self.scene.cameras()
+        n = len(cams)
+        if len(key) == 1 and key.isdigit():
+            idx = int(key)
+            if idx >= n:
+                return False
+            self.current_view = idx
+        elif key in ("PageUp", "PageDown"):
+            step = 1 if key == "PageUp" else -1
+            self.current_view = (self.current_view + step) % n
+        elif key in ("r", "R"):
+            import random
+
+            self.current_view = random.randrange(n)
+        elif key in ("n", "N"):
+            with self.lock:
+                pos = np.asarray(self.camera.position, np.float64)
+            cam_id = self.scene.nearest_camera(pos)
+            if cam_id is None:
+                return False
+            self.snap_to(cam_id)
+            return True
+        else:
+            return False
+        self.snap_to(cams[self.current_view].id)
+        return True
+
     def start_tracking_shot(self):
         cams = self.saved_cameras or (
             [c.to_perspective() for c in self.scene.cameras()] if self.scene else []
@@ -232,6 +294,20 @@ class ViewerState:
                 walltime=self.walltime,
                 background_color=tuple(s["bg"]),
             )
+            # lazy redraw (lib.rs:829-838): identical SplattingArgs + camera
+            # -> reuse the previous frame (walltime stops changing once the
+            # grow-in caps at 5 s, so an idle viewer renders nothing)
+            sig = (
+                tuple(np.asarray(cam.position, np.float64).tolist()),
+                tuple(np.asarray(cam.rotation, np.float64).tolist()),
+                repr(cam.projection),
+                args,
+            )
+            if sig == self._last_sig and self.frame_png:
+                self.lazy_skips += 1
+                time.sleep(0.005)
+                continue
+            self._last_sig = sig
             img = self.renderer.render(
                 cam, (self.width, self.height), args, with_diag=True
             )
@@ -317,7 +393,19 @@ def make_handler(state: ViewerState):
             elif t == "zoom":
                 ctl.process_scroll(float(msg["dy"]))
             elif t == "key":
-                ctl.process_keyboard(str(msg.get("key", "")), bool(msg.get("pressed")))
+                key = str(msg.get("key", ""))
+                pressed = bool(msg.get("pressed"))
+                # view-selection keys act on press only (lib.rs:741-787)
+                if not (pressed and state.handle_view_key(key)):
+                    ctl.process_keyboard(key, pressed)
+            elif t == "touch":
+                # two-finger rotate/pinch/pan forwarded from the browser page
+                # (reference: winit Touch events -> controller.rs:145-228)
+                ctl.process_touch(
+                    int(msg.get("id", 0)),
+                    (float(msg.get("x", 0.0)), float(msg.get("y", 0.0))),
+                    str(msg.get("phase", "moved")),
+                )
             elif t == "setting":
                 name, value = msg["name"], msg["value"]
                 with state.lock:
@@ -326,9 +414,15 @@ def make_handler(state: ViewerState):
                     elif name == "shdeg":
                         state.settings["max_sh_deg"] = int(value)
                     elif name == "kernel":
-                        state.settings["kernel"] = float(value)
+                        # tri-state (ui.rs:438-496): "auto" defers to the
+                        # per-file default, a number is an explicit override
+                        state.settings["kernel"] = (
+                            None if value in (None, "auto") else float(value)
+                        )
                     elif name == "mip":
-                        state.settings["mip"] = bool(value)
+                        state.settings["mip"] = (
+                            None if value in (None, "auto") else bool(value)
+                        )
                     elif name == "bg":
                         v = value.lstrip("#")
                         state.settings["bg"] = tuple(
