@@ -151,3 +151,78 @@ def test_npz_codebooks(rng):
     # per-point sh from the feature codebook entry
     sh_expect = (dc_q.astype(np.float32) * dc_scale)[fi]
     np.testing.assert_allclose(cloud.sh[:, :1].astype(np.float32), sh_expect, atol=2e-3)
+
+
+def test_compressed_residency_matches_decoded(rng):
+    """keep_compressed=True keeps int8 streams + codebooks on device and
+    dequantizes per frame; the expanded view must match the decode-at-load
+    path up to its extra f16 rounding, and the rendered frames must agree.
+    Reference: preprocess_compressed.wgsl:137-171,216-242."""
+    import jax.numpy as jnp
+
+    from websplat_tpu.config import RasterConfig, SplattingArgs, resolve_settings
+    from websplat_tpu.models.camera import CameraUniforms
+    from websplat_tpu.render.renderer import (
+        camera_to_device,
+        decompress_cloud,
+        render_frame,
+        settings_to_device,
+        upload_cloud,
+        upload_compressed_cloud,
+    )
+    from tests.synth import make_camera
+
+    n, k = 600, 17
+    xyz = rng.normal(size=(n, 3)).astype(np.float32) * 0.5
+    table_scaling = rng.uniform(-4, -2, size=(k, 3)).astype(np.float32)
+    table_rot = random_quats(rng, k)
+    table_sh = rng.normal(size=(k, 16, 3)).astype(np.float32) * 0.4
+    gi = rng.integers(0, k, size=n).astype(np.int32)
+    fi = rng.integers(0, k, size=n).astype(np.int32)
+    opacity = rng.uniform(0.05, 1.0, size=(n,)).astype(np.float32)
+    sf_log = rng.uniform(-0.5, 0.5, size=(n,)).astype(np.float32)
+
+    blob = dumps_npz(
+        xyz, table_scaling, table_rot, opacity, table_sh, sh_deg=3,
+        gaussian_indices=gi, feature_indices=fi, scaling_factor_log=sf_log,
+    )
+    decoded = load_gaussian_cloud(blob)
+    resident = load_gaussian_cloud(blob, keep_compressed=True)
+    assert resident.quantized is not None
+    assert decoded.quantized is None
+    assert resident.num_points == decoded.num_points
+
+    dc_dec = upload_cloud(decoded)
+    dc_res = decompress_cloud(upload_compressed_cloud(resident))
+    # decoded path rounds cov/opacity through f16 once more than the
+    # resident path (which matches the reference's f32 frame-time math)
+    np.testing.assert_allclose(
+        np.asarray(dc_res.opacity), np.asarray(dc_dec.opacity), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(dc_res.cov), np.asarray(dc_dec.cov), rtol=2e-3, atol=1e-4
+    )
+    assert np.array_equal(np.asarray(dc_res.sh), np.asarray(dc_dec.sh))
+
+    # end-to-end frames agree
+    w, h = 96, 64
+    cam = make_camera(viewport=(w, h))
+    cam.fit_near_far(*decoded.aabb)
+    uni = camera_to_device(CameraUniforms.from_camera(cam, (w, h)))
+    cfg = RasterConfig.for_backend()
+    args = SplattingArgs()
+    imgs = []
+    for cloud_obj, dev in ((decoded, dc_dec), (resident, upload_compressed_cloud(resident))):
+        settings = settings_to_device(resolve_settings(args, cloud_obj))
+        imgs.append(
+            np.asarray(
+                render_frame(
+                    dev, uni, settings, jnp.zeros(3, jnp.float32),
+                    width=w, height=h, config=cfg, compressed=True,
+                )
+            )
+        )
+    from websplat_tpu.utils.image import psnr
+
+    p = psnr(imgs[0], imgs[1])
+    assert p > 45.0, f"decoded vs resident PSNR {p:.1f} dB"

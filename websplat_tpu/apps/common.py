@@ -24,8 +24,10 @@ def find_scene_file(input_path: str) -> Optional[str]:
     return None
 
 
-def load_inputs(input_path: str, scene_path: Optional[str]) -> Tuple[GaussianCloud, Scene]:
-    cloud = load_gaussian_cloud(input_path)
+def load_inputs(
+    input_path: str, scene_path: Optional[str], keep_compressed: bool = False
+) -> Tuple[GaussianCloud, Scene]:
+    cloud = load_gaussian_cloud(input_path, keep_compressed=keep_compressed)
     if scene_path is None:
         scene_path = find_scene_file(input_path)
     if scene_path is None:

@@ -65,9 +65,14 @@ def main(argv=None):
                     help="write 16-bit PNGs (reference --hdr renders to "
                          "Rgba16Float, /root/reference/src/lib.rs:192-196)")
     ap.add_argument("--tile-slots", type=int, default=None)
+    ap.add_argument("--keep-compressed", action="store_true",
+                    help="keep npz int8 streams + codebooks resident on device "
+                         "and dequantize per frame (the reference GPU behavior; "
+                         "slower per frame on TPU, ~8x smaller in HBM)")
     args_ns = ap.parse_args(argv)
 
-    cloud, scene = load_inputs(args_ns.input, args_ns.scene)
+    cloud, scene = load_inputs(args_ns.input, args_ns.scene,
+                               keep_compressed=args_ns.keep_compressed)
     cfg = RasterConfig.for_backend()
     if args_ns.tile_slots:
         import dataclasses

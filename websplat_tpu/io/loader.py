@@ -35,6 +35,10 @@ class GaussianCloud:
     mip_splatting: Optional[bool] = None
     background_color: Optional[Tuple[float, float, float]] = None
     compressed: bool = False
+    # device-residency compressed streams (io/npz.py QuantizedStreams); when
+    # set, opacity/cov/sh above are None and dequantization happens per frame
+    # on device (reference: preprocess_compressed.wgsl:137-171,216-242)
+    quantized: Optional[npz_io.QuantizedStreams] = None
 
     # derived scene metadata
     aabb: Tuple[np.ndarray, np.ndarray] = None  # (min, max)
@@ -64,13 +68,17 @@ class GaussianCloud:
         return (mn + mx) / 2.0
 
 
-def load_gaussian_cloud(source: Union[str, bytes, BinaryIO]) -> GaussianCloud:
+def load_gaussian_cloud(
+    source: Union[str, bytes, BinaryIO], keep_compressed: bool = False
+) -> GaussianCloud:
     """Load a .ply or .npz Gaussian cloud, dispatching on magic bytes
-    (/root/reference/src/io/mod.rs:45-61)."""
+    (/root/reference/src/io/mod.rs:45-61).  keep_compressed keeps npz int8
+    streams + codebooks for on-device residency (ignored for PLY, which is
+    uncompressed)."""
     if isinstance(source, (str, os.PathLike)):
         with open(source, "rb") as f:
             data = f.read()
-        return load_gaussian_cloud(data)
+        return load_gaussian_cloud(data, keep_compressed)
     if isinstance(source, (bytes, bytearray)):
         f: BinaryIO = _io.BytesIO(source)
     else:
@@ -80,7 +88,7 @@ def load_gaussian_cloud(source: Union[str, bytes, BinaryIO]) -> GaussianCloud:
     if magic.startswith(ply_io.MAGIC):
         d = ply_io.read_ply(f)
     elif magic.startswith(npz_io.MAGIC):
-        d = npz_io.read_npz(f)
+        d = npz_io.read_npz(f, keep_compressed=keep_compressed)
     else:
         raise ValueError("Unknown file format")
     return GaussianCloud(**d)

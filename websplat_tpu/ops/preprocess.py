@@ -27,7 +27,7 @@ sign: cov_pix = diag(1,-1) @ cov_ndc @ diag(1,-1).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -54,6 +54,27 @@ class DeviceCloud(NamedTuple):
     opacity: jnp.ndarray  # (N,) f32
     sh: jnp.ndarray  # (24, N) u32: f16 coefficient pairs, flat index
     # k = 3*coef + channel; k=2p low half of row p, k=2p+1 high half
+
+
+class CompressedDeviceCloud(NamedTuple):
+    """Device-resident COMPRESSED cloud: int8/index streams + codebooks, the
+    TPU analogue of the reference keeping quantized data on the GPU
+    (preprocess_compressed.wgsl:137-171,216-242; npz.rs:134-154).  Expanded
+    to a DeviceCloud per frame by renderer.decompress_cloud (in-jit XLA
+    gathers: TPU vector units have no per-lane VMEM gather, so codebook
+    indirection belongs in XLA, not the Pallas frontend)."""
+
+    xyz: jnp.ndarray  # (3, N) f32
+    opacity_q: jnp.ndarray  # (N,) i8
+    opacity_scale: jnp.ndarray  # scalar f32
+    opacity_zp: jnp.ndarray  # scalar f32
+    scale_factor_q: Optional[jnp.ndarray]  # (N,) i8 or None
+    sf_scale: jnp.ndarray  # scalar f32
+    sf_zp: jnp.ndarray  # scalar f32
+    covars: jnp.ndarray  # (6, C) f32 codebook
+    geom_idx: jnp.ndarray  # (N,) i32
+    sh_cb: jnp.ndarray  # (24, C_sh) u32 packed f16 pairs (DeviceCloud.sh layout)
+    sh_idx: jnp.ndarray  # (N,) i32
 
 
 class CameraParams(NamedTuple):

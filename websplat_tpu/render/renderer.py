@@ -27,11 +27,21 @@ from websplat_tpu.io.loader import GaussianCloud
 from websplat_tpu.models.camera import CameraUniforms, PerspectiveCamera
 from websplat_tpu.ops.preprocess import (
     CameraParams,
+    CompressedDeviceCloud,
     DeviceCloud,
     DeviceSettings,
     preprocess,
 )
 from websplat_tpu.ops.sort import sort_instances, tile_ranges
+
+
+def _pack_sh_f16(sh: np.ndarray) -> np.ndarray:
+    """(M, 16, 3) f32/f16 SH -> (24, M) u32 of packed f16 pairs (the
+    DeviceCloud.sh wire layout, flat index k = 3*coef + channel)."""
+    m = sh.shape[0]
+    sh48 = np.ascontiguousarray(sh.reshape(m, 48).T.astype(np.float16))
+    bits = sh48.view(np.uint16).astype(np.uint32)
+    return bits[0::2] | (bits[1::2] << np.uint32(16))
 
 
 def upload_cloud(cloud: GaussianCloud) -> DeviceCloud:
@@ -40,18 +50,56 @@ def upload_cloud(cloud: GaussianCloud) -> DeviceCloud:
     widened to f32 once; SH stays f16 in HBM (it is the bulk of the bytes and
     the preprocess reads it once per frame).  Arrays are transposed to the
     COLUMN-major device layout here, once (see DeviceCloud)."""
-    n = cloud.xyz.shape[0]
-    sh48 = np.ascontiguousarray(
-        cloud.sh.reshape(n, 48).T.astype(np.float16)
-    )  # (48, N) f16
-    bits = sh48.view(np.uint16).astype(np.uint32)
-    sh_packed = bits[0::2] | (bits[1::2] << np.uint32(16))  # (24, N)
     return DeviceCloud(
         xyz=jnp.asarray(np.ascontiguousarray(cloud.xyz.T), jnp.float32),
         cov=jnp.asarray(np.ascontiguousarray(cloud.cov.T).astype(np.float32)),
         opacity=jnp.asarray(cloud.opacity.astype(np.float32)),
-        sh=jnp.asarray(sh_packed),
+        sh=jnp.asarray(_pack_sh_f16(cloud.sh)),
     )
+
+
+def upload_compressed_cloud(cloud: GaussianCloud) -> CompressedDeviceCloud:
+    """Compressed residency upload: int8/index streams + codebooks stay in
+    HBM (~22 B/splat vs ~136 B decoded); per-frame expansion happens in-jit
+    (decompress_cloud).  Reference: the GPU keeps the quantized buffers and
+    dequantizes in preprocess_compressed.wgsl."""
+    q = cloud.quantized
+    return CompressedDeviceCloud(
+        xyz=jnp.asarray(np.ascontiguousarray(cloud.xyz.T), jnp.float32),
+        opacity_q=jnp.asarray(q.opacity_q, jnp.int8),
+        opacity_scale=jnp.float32(q.opacity_scale),
+        opacity_zp=jnp.float32(q.opacity_zp),
+        scale_factor_q=(
+            None if q.scale_factor_q is None else jnp.asarray(q.scale_factor_q, jnp.int8)
+        ),
+        sf_scale=jnp.float32(q.sf_scale),
+        sf_zp=jnp.float32(q.sf_zp),
+        covars=jnp.asarray(np.ascontiguousarray(q.covars.T), jnp.float32),
+        geom_idx=jnp.asarray(q.geom_idx, jnp.int32),
+        sh_cb=jnp.asarray(_pack_sh_f16(q.sh_codebook)),
+        sh_idx=jnp.asarray(q.sh_idx, jnp.int32),
+    )
+
+
+def decompress_cloud(cc: CompressedDeviceCloud) -> DeviceCloud:
+    """Per-frame on-device dequantization (inside the frame jit).
+
+    Mirrors preprocess_compressed.wgsl:137-171,216-242: opacity/scale-factor
+    int8 dequant + exp, covariance codebook lookup scaled by the squared
+    factor, SH codebook lookup.  The codebook gathers run as XLA gathers
+    (~5 ms per million rows on v5e) because TPU vector units cannot gather
+    from VMEM per lane; everything else fuses into the surrounding jit."""
+    opacity = (
+        cc.opacity_q.astype(jnp.float32) - cc.opacity_zp
+    ) * cc.opacity_scale
+    cov = jnp.take(cc.covars, cc.geom_idx, axis=1)  # (6, N)
+    if cc.scale_factor_q is not None:
+        sf = jnp.exp(
+            (cc.scale_factor_q.astype(jnp.float32) - cc.sf_zp) * cc.sf_scale
+        )
+        cov = cov * (sf * sf)[None, :]
+    sh = jnp.take(cc.sh_cb, cc.sh_idx, axis=1)  # (24, N)
+    return DeviceCloud(xyz=cc.xyz, cov=cov, opacity=opacity, sh=sh)
 
 
 def settings_to_device(s: ResolvedSettings) -> DeviceSettings:
@@ -108,6 +156,8 @@ def render_frame_impl(
     Composable under jit / vmap / shard_map (the multi-view and multi-chip
     paths in websplat_tpu/parallel wrap this; they pass ``multi_device=True``
     so non-TPU traces avoid interpret-mode Pallas — see use_pallas_ops)."""
+    if isinstance(cloud, CompressedDeviceCloud):
+        cloud = decompress_cloud(cloud)
     pallas_ok = use_pallas_ops(multi_device)
     tx_tiles, ty_tiles = config.tiles_for(width, height)
     _, depth_bits_ = config.key_bits(width, height)
@@ -199,7 +249,11 @@ class GaussianRenderer:
     ):
         self.cloud = cloud
         self.config = config or RasterConfig()
-        self.device_cloud = upload_cloud(cloud)
+        self.device_cloud = (
+            upload_compressed_cloud(cloud)
+            if cloud.quantized is not None
+            else upload_cloud(cloud)
+        )
         self._last_diag = None
 
     def render(
