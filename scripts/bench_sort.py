@@ -71,5 +71,43 @@ def main():
     print(f"u64-packed (3) : {timed(sort_u64, keys, *words):7.2f} ms")
 
 
+def extra():
+    """Batched-rows + size-scaling variants (run: bench_sort.py extra)."""
+    rng = np.random.default_rng(0)
+
+    def live(outs):
+        return sum(o[:, ::65536].astype(jnp.float32).sum() if o.ndim == 2
+                   else o[::65536].astype(jnp.float32).sum() for o in outs)
+
+    def make(m):
+        keys = jnp.asarray(rng.integers(0, 1 << 32, m, dtype=np.uint64).astype(np.uint32))
+        words = [jnp.asarray(rng.integers(0, 1 << 32, m, dtype=np.uint64).astype(np.uint32))
+                 for _ in range(4)]
+        return keys, words
+
+    def sort5_flat(k, w0, w1, w2, w3, salt):
+        out = lax.sort((k ^ salt, w0, w1, w2, w3), num_keys=1, is_stable=False)
+        return live(out)
+
+    def sort5_rows(rows):
+        def f(k, w0, w1, w2, w3, salt):
+            ops = tuple(x.reshape(rows, -1) for x in (k ^ salt, w0, w1, w2, w3))
+            out = lax.sort(ops, dimension=1, num_keys=1, is_stable=False)
+            return live(out)
+        return f
+
+    for m in (1_048_576, 2_097_152, 3_145_728):
+        k, w = make(m)
+        t = timed(sort5_flat, k, *w)
+        print(f"m={m:9d} flat      : {t:7.2f} ms  ({t / (m/1e6):.2f} ms/M)")
+        for rows in (8, 32, 128, 512):
+            t = timed(sort5_rows(rows), k, *w)
+            print(f"m={m:9d} rows={rows:4d} : {t:7.2f} ms  ({t / (m/1e6):.2f} ms/M)")
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "extra":
+        sys.argv.pop(1)
+        extra()
+    else:
+        main()

@@ -9,6 +9,7 @@ which the rest of the suite pins to the NumPy oracle.
 import dataclasses
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -88,6 +89,7 @@ def test_fused_matches_slot_stream():
     assert common >= 0.995 * min(len(a), len(b)), (common, len(a), len(b))
 
 
+@pytest.mark.slow
 def test_fused_render_matches():
     """End-to-end image equality (the renderer auto-selects the fused path).
 

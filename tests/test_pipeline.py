@@ -108,6 +108,7 @@ def test_num_visible_matches_oracle_count(rng):
     assert 0 < nv <= 300
 
 
+@pytest.mark.slow
 def test_multiple_viewports_recompile_ok(rng):
     cloud = make_cloud(rng, n=100)
     cam = make_camera(viewport=(64, 64))
@@ -118,6 +119,7 @@ def test_multiple_viewports_recompile_ok(rng):
     assert b.shape == (64, 96, 3)
 
 
+@pytest.mark.slow
 def test_slot_budget_tradeoff(rng):
     """With only 4 slots, oversized splats lose fringe tiles: diagnostics
     report them and quality degrades gracefully versus 16 slots."""

@@ -4,6 +4,11 @@ oracle, run in TPU interpret mode on CPU."""
 import numpy as np
 import pytest
 
+# Interpret-mode compiles of the Pallas rasterizer at several configs take
+# minutes each on CPU; the fast lane covers the same kernels via
+# test_emit_compact / test_compact and the TPU bench exercises them for real.
+pytestmark = pytest.mark.slow
+
 from websplat_tpu.config import RasterConfig, SplattingArgs, resolve_settings
 from websplat_tpu.models.camera import CameraUniforms
 from websplat_tpu.ops.oracle import render_oracle
@@ -99,3 +104,49 @@ def test_giant_splat_falloff(rng):
     e = img[2, 2].mean()
     assert c > 0.05, f"center {c}"
     assert c > e + 0.01, f"no falloff: center {c} edge {e}"
+
+
+def test_band_skipping_bit_exact(rng):
+    """y_bands segment/band skipping must be BIT-exact vs the unbanded
+    kernel: skipped (segment, band) pairs contain only zero-alpha work
+    (c += t*0, t *= 1 are f32 no-ops).  Runs the kernel directly with
+    interpret=True because auto-interpret traces clamp y_bands to 1."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from websplat_tpu.ops.preprocess import preprocess
+    from websplat_tpu.ops.rasterize_pallas import rasterize_pallas
+    from websplat_tpu.ops.sort import sort_instances, tile_ranges
+    from websplat_tpu.render.renderer import (
+        camera_to_device,
+        settings_to_device,
+        upload_cloud,
+    )
+
+    w, h = 64, 16  # 2x2 tiles at 32x8; band_p = 128 at 2 bands
+    cloud = make_cloud(rng, n=200)
+    cam = make_camera(viewport=(w, h))
+    cam.fit_near_far(*cloud.aabb)
+    cfg = RasterConfig(tile_w=32, tile_h=8, tile_slots=8, y_bands=2)
+    from websplat_tpu.models.camera import CameraUniforms
+
+    uni = camera_to_device(CameraUniforms.from_camera(cam, (w, h)))
+    settings = settings_to_device(resolve_settings(SplattingArgs(), cloud))
+    pre = preprocess(
+        upload_cloud(cloud), uni, settings, width=w, height=h, config=cfg
+    )
+    sk, sp = sort_instances(pre.keys, pre.payload)
+    tx, ty = cfg.tiles_for(w, h)
+    _, depth_bits = cfg.key_bits(w, h)
+    ranges = tile_ranges(sk, tx * ty, depth_bits)
+    bg = jnp.asarray((0.3, 0.2, 0.1), jnp.float32)
+    img_b = np.asarray(
+        rasterize_pallas(sp, ranges, bg, width=w, height=h, config=cfg, interpret=True)
+    )
+    cfg1 = dataclasses.replace(cfg, y_bands=1)
+    img_1 = np.asarray(
+        rasterize_pallas(sp, ranges, bg, width=w, height=h, config=cfg1, interpret=True)
+    )
+    assert np.isfinite(img_b).all()
+    assert np.array_equal(img_b, img_1), np.abs(img_b - img_1).max()

@@ -57,6 +57,17 @@ class RasterConfig:
     # Skip blending for 8-splat groups with no contribution (branchy but
     # saves work in sparse tiles).
     group_skip: bool = True
+    # Horizontal sub-tile bands for the Pallas rasterizer: the tile's pixel
+    # rows are split into y_bands bands with independent composite carries,
+    # and each (segment, band) pair is skipped when no splat in the segment
+    # can reach the band's y range (from the per-group ellipse y-extent).
+    # tile_h % y_bands == 0 and (tile_w*tile_h/y_bands) % 128 == 0 required;
+    # 1 disables banding.  Default 1: measured on v5e at bonsai scale the
+    # banded kernel LOSES (26.4 -> 44.4 ms/frame at 4 bands, 32x16 tiles) —
+    # per-group setup (column extracts) is re-paid per live band and the
+    # per-(segment, band) lax.cond liveness reductions outweigh the skipped
+    # blend work.  Kept (bit-exact, tested) for future large-tile configs.
+    y_bands: int = 1
     # k-rows per skip-branch segment (seg_k*16 groups share one liveness
     # branch) and the number of groups whose blend instruction streams are
     # interleaved for ILP — both measured-tuned (see rasterize_pallas.py).
@@ -71,7 +82,11 @@ class RasterConfig:
     compact: bool = True
     instance_capacity_factor: float = 2.0
 
-    # Sort backend: "xla" (lax.sort) or "pallas" (custom streaming sort).
+    # Sort backend.  "xla" (lax.sort) is the only implementation: measured
+    # alternatives lost (scatter-based radix is ~50 ms/M on TPU; batched
+    # row sorts are 4x faster per element but need a linear-time partition
+    # TPU lacks).  The knob remains for future backends; unknown values
+    # raise in ops/sort.py.
     sort_backend: str = "xla"
 
     # Rasterizer backend: "pallas" or "xla" (reference/debug fallback).

@@ -40,6 +40,11 @@ SPLATS = 16384  # splats per grid step ((128, 128) view); VMEM-bounded:
 ROWS = SPLATS // 128
 LOG2 = int(np.log2(SPLATS))
 ALIGN = 1024  # rank-1 HBM slice offsets must be (8,128)-tile aligned
+# Staged write = one compacted unit plus the sub-ALIGN carry tile prepended
+# (exact-cursor protocol, see _write in the kernel).
+STAGE = SPLATS + ALIGN
+SROWS = STAGE // 128
+CARRY_ROWS = ALIGN // 128
 
 
 def _flat_roll(x, k: int):
@@ -52,6 +57,19 @@ def _flat_roll(x, k: int):
     z = pltpu.roll(y, shift=b, axis=1)
     w = pltpu.roll(z, shift=1, axis=0)
     lane = lax.broadcasted_iota(jnp.int32, (ROWS, 128), 1)
+    return jnp.where(lane < b, w, z)
+
+
+def _flat_roll_dyn(x, r, rows):
+    """Flat roll RIGHT by a TRACED r in [0, ALIGN) over a (rows, 128) block:
+    sublane-roll(r // 128) + lane-roll(r % 128) + one-row carry select
+    (tpu.DynamicRotate handles traced shift amounts)."""
+    a = r // 128
+    b = lax.rem(r, 128)
+    y = pltpu.roll(x, shift=a, axis=0)
+    z = pltpu.roll(y, shift=b, axis=1)
+    w = pltpu.roll(z, shift=1, axis=0)
+    lane = lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
     return jnp.where(lane < b, w, z)
 
 
@@ -68,12 +86,16 @@ def _make_kernel(
     compressed: bool,
 ):
     def kernel(scal_ref, *refs):
-        # refs: 34 inputs, 6 outputs, then scratch (5 staged, sems, smem)
+        # refs: 34 inputs, 6 outputs, then scratch (5 staged, 5 carry, sems,
+        # smem)
         ins = refs[:34]
         keys_out, o0, o1, o2, o3, stats_out = refs[34:40]
-        st_k, st_0, st_1, st_2, st_3, sems, state = refs[40:]
+        st_k, st_0, st_1, st_2, st_3 = refs[40:45]
+        ca_k, ca_0, ca_1, ca_2, ca_3 = refs[45:50]
+        sems, state = refs[50:]
         outs = (keys_out, o0, o1, o2, o3)
         stages = (st_k, st_0, st_1, st_2, st_3)
+        carries = (ca_k, ca_0, ca_1, ca_2, ca_3)
 
         s = pl.program_id(0)
 
@@ -127,8 +149,13 @@ def _make_kernel(
 
         def unit_dma(w, off):
             return pltpu.make_async_copy(
-                stages[w], outs[w].at[pl.ds(off, SPLATS)], sems.at[w]
+                stages[w], outs[w].at[pl.ds(off, STAGE)], sems.at[w]
             )
+
+        # (SROWS, 128) iotas for the carry-merge select
+        s_lane = lax.broadcasted_iota(jnp.int32, (SROWS, 128), 1)
+        s_row = lax.broadcasted_iota(jnp.int32, (SROWS, 128), 0)
+        s_flat = s_row * 128 + s_lane
 
         for j, slot_ok, tile in iter_slots(d, slots, tx_tiles):
             ok = slot_ok.astype(jnp.int32)
@@ -138,10 +165,6 @@ def _make_kernel(
                 jnp.uint32(INVALID_KEY),
             )
             cnt = jnp.sum(ok)
-            cursor = state[0]
-            off_clamped = pl.multiple_of(
-                jnp.minimum(cursor, capacity_pad - SPLATS), ALIGN
-            )
 
             def do_shuffle(key=key, ok=ok):
                 inv = 1 - ok
@@ -172,21 +195,58 @@ def _make_kernel(
 
             @pl.when(cnt > 0)
             def _write():
-                # ordered-overlap protocol (see emit_compact_pallas):
-                # wait the previous unit's DMAs before overwriting staging /
-                # starting an overlapping write; cursor > 0 <=> one is
-                # outstanding
-                @pl.when(cursor > 0)
+                # EXACT-cursor ordered-overlap protocol.  The stream cursor
+                # advances by exactly cnt (no ALIGN rounding): the staged
+                # write is [carry-tile | compacted unit] placed at the
+                # ALIGN-floored cursor, where the carry tile re-writes the
+                # partial last tile of the stream so far.  DMA completion
+                # must stay ORDERED per word (wait-before-overwrite), and the
+                # sub-ALIGN tail of each write is carried in VMEM to be
+                # prepended to the next unit.
+                total = state[0]
+                carry_len = lax.rem(total, ALIGN)
+                aligned = total - carry_len
+                off_clamped = pl.multiple_of(
+                    jnp.minimum(aligned, capacity_pad - STAGE), ALIGN
+                )
+
+                @pl.when(total > 0)
                 def _wait_prev():
                     for w in range(5):
                         unit_dma(w, off_clamped).wait()
 
+                fills = (jnp.uint32(INVALID_KEY),) + (jnp.uint32(0),) * 4
                 for w in range(5):
-                    stages[w][...] = vals[w].reshape(SPLATS)
+                    ext = jnp.concatenate(
+                        [
+                            vals[w],
+                            jnp.full((SROWS - ROWS, 128), fills[w], jnp.uint32),
+                        ],
+                        axis=0,
+                    )
+                    rolled = _flat_roll_dyn(ext, carry_len, SROWS)
+                    carry_full = jnp.concatenate(
+                        [
+                            carries[w][...].reshape(CARRY_ROWS, 128),
+                            jnp.full(
+                                (SROWS - CARRY_ROWS, 128), fills[w], jnp.uint32
+                            ),
+                        ],
+                        axis=0,
+                    )
+                    merged = jnp.where(s_flat < carry_len, carry_full, rolled)
+                    stages[w][...] = merged.reshape(STAGE)
+
+                # new carry = the partial tile at the advanced cursor
+                stage_len = carry_len + cnt
+                advance = stage_len - lax.rem(stage_len, ALIGN)
+                adv_c = pl.multiple_of(jnp.minimum(advance, SPLATS), ALIGN)
+                for w in range(5):
+                    carries[w][...] = stages[w][pl.ds(adv_c, ALIGN)]
                 for w in range(5):
                     unit_dma(w, off_clamped).start()
 
-                state[0] = cursor + ((cnt + ALIGN - 1) // ALIGN) * ALIGN
+                state[0] = total + cnt
                 state[1] = state[1] + cnt
 
         @pl.when(s == n_steps - 1)
@@ -200,7 +260,7 @@ def _make_kernel(
                 for w in range(5):
                     pltpu.make_async_copy(
                         stages[w],
-                        outs[w].at[pl.ds(jnp.int32(0), SPLATS)],
+                        outs[w].at[pl.ds(jnp.int32(0), STAGE)],
                         sems.at[w],
                     ).wait()
 
@@ -248,9 +308,11 @@ def fused_frontend(
 
     n_pad = -(-n // SPLATS) * SPLATS
     n_steps = n_pad // SPLATS
-    n_units = n_steps * slots
-    limit = capacity + n_units * ALIGN
-    capacity_pad = -(-limit // SPLATS) * SPLATS + SPLATS
+    # exact-cursor protocol: `capacity` counts real instances with NO
+    # per-unit align padding; the array only needs one STAGE of headroom for
+    # the clamped last write
+    limit = capacity
+    capacity_pad = -(-limit // ALIGN) * ALIGN + STAGE
 
     def padded(x, fill=0.0):
         if n_pad == n:
@@ -303,7 +365,8 @@ def fused_frontend(
         + [
             pl.BlockSpec((1, 128), lambda s, scal: (0, 0), memory_space=pltpu.VMEM)
         ],
-        scratch_shapes=[pltpu.VMEM((SPLATS,), jnp.uint32)] * 5
+        scratch_shapes=[pltpu.VMEM((STAGE,), jnp.uint32)] * 5
+        + [pltpu.VMEM((ALIGN,), jnp.uint32)] * 5
         + [pltpu.SemaphoreType.DMA((5,)), pltpu.SMEM((4,), jnp.int32)],
     )
     interp = (

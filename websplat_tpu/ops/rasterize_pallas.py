@@ -97,9 +97,15 @@ def _make_kernel(
     group_skip: bool = True,
     seg_k: int = SEG_K,
     group_batch: int = GROUP_BATCH,
+    y_bands: int = 1,
 ):
     p = tile_w * tile_h  # pixels per tile (multiple of 128)
     sub = p // 128
+    n_bands = y_bands
+    band_p = p // n_bands  # pixels per band (multiple of 128)
+    band_rows = tile_h // n_bands
+    import os
+    cross_tile = not os.environ.get("WS_NO_CROSS_TILE")
 
     def kernel(ranges_ref, w0_hbm, w1_hbm, w2_hbm, w3_hbm, out_ref,
                v0a, v1a, v2a, v3a, v0b, v1b, v2b, v3b, sems):
@@ -110,14 +116,31 @@ def _make_kernel(
         tile_x = (t % num_tiles_x) * tile_w
         tile_y = (t // num_tiles_x) * tile_h
 
-        # flat pixel coordinates, laid out (1, P) to broadcast against the
-        # (8, 1) per-group splat columns
-        flat = lax.broadcasted_iota(jnp.int32, (1, p), 1)
-        pix_x = (tile_x + flat % tile_w).astype(jnp.float32) + 0.5
-        pix_y = (tile_y + flat // tile_w).astype(jnp.float32) + 0.5
+        # per-band flat pixel coordinates, laid out (1, band_p) to broadcast
+        # against the (8, 1) per-group splat columns.  Bands are contiguous
+        # row groups of the row-major tile, so band b covers flat pixels
+        # [b*band_p, (b+1)*band_p).
+        band_pix = []
+        for b in range(n_bands):
+            f = b * band_p + lax.broadcasted_iota(jnp.int32, (1, band_p), 1)
+            band_pix.append(
+                (
+                    (tile_x + f % tile_w).astype(jnp.float32) + 0.5,
+                    (tile_y + f // tile_w).astype(jnp.float32) + 0.5,
+                )
+            )
 
         chunk0 = lax.div(start, CHUNK)
-        n_chunks = lax.div(end + CHUNK - 1, CHUNK) - chunk0
+        # EMPTY tiles must yield n_chunks == 0: with start == end at a non-
+        # CHUNK-aligned position, ceil(end/C) - floor(start/C) is 1, and the
+        # tile would WAIT for a first-chunk DMA its predecessor (whose
+        # cross-tile prefetch is guarded by the true emptiness test
+        # nend > nstart) never started — an unmatched semaphore wait that
+        # hangs the core until the TPU watchdog kills the worker.  Dense
+        # scenes have no empty tiles, which is how this survived bench runs.
+        n_chunks = jnp.where(
+            end > start, lax.div(end + CHUNK - 1, CHUNK) - chunk0, 0
+        )
 
         # chunk-local sorted index of element (i, col p=8a+k): 128k + 8a + i
         g_lane = lax.broadcasted_iota(jnp.int32, (GROUP, 128), 1)
@@ -165,12 +188,12 @@ def _make_kernel(
         # of the previous grid step (scratch + semaphores persist across
         # steps), so only tile 0 pays the warm-up DMA latency — with ~2k
         # tiles, per-tile first-chunk stalls are a multi-ms cost otherwise.
-        @pl.when((t == 0) & (n_chunks > 0))
+        @pl.when(((t == 0) | (not cross_tile)) & (n_chunks > 0))
         def _warmup():
             chunk_start(0, 0)
 
         def chunk_body(carry):
-            ci, cr, cg, cb, trans = carry
+            ci, crs, cgs, cbs, transs = carry
             s = ci % 2
 
             @pl.when(s == 0)
@@ -220,11 +243,39 @@ def _make_kernel(
             idx = off + chunk_local_idx
             op_g = jnp.where((idx >= start) & (idx < end), op_g, 0.0)
 
+            # ---- per-group y-extent bounds (for band skipping) ----
+            # ellipse {a(d) <= 2*CUTOFF} of the form a = ha dx^2 + hb dxdy +
+            # hc dy^2 has max |dy| = sqrt(2*CUTOFF * ha / (ha*hc - hb^2/4)).
+            # Degenerate / non-PSD decodes (possible only for garbage lanes,
+            # which carry op=0, or f16-subnormal giants) fall back to an
+            # always-live range; comparisons are written NaN-safe (a NaN
+            # fails `>`, selecting the conservative branch).
+            det_q = ha_g * hc_g - 0.25 * hb_g * hb_g
+            pos_def = (det_q > 1e-30) & (ha_g > 0.0)
+            ey_g = jnp.sqrt(
+                jnp.maximum(2.0 * CUTOFF * ha_g, 0.0)
+                / jnp.maximum(det_q, 1e-30)
+            )
+            live_l = op_g > 0.0
+            big_f = jnp.float32(3.0e38)
+            ymin_l = jnp.where(
+                live_l, jnp.where(pos_def, cy_g - ey_g, -big_f), big_f
+            )
+            ymax_l = jnp.where(
+                live_l, jnp.where(pos_def, cy_g + ey_g, big_f), -big_f
+            )
+            # butterfly min/max over the 8 sublanes: every sublane of a
+            # column ends up holding its GROUP's y-range
+            gmin, gmax = ymin_l, ymax_l
+            for sh in (4, 2, 1):
+                gmin = jnp.minimum(gmin, pltpu.roll(gmin, shift=sh, axis=0))
+                gmax = jnp.maximum(gmax, pltpu.roll(gmax, shift=sh, axis=0))
+
             # ---- blend groups in depth order ----
             # GROUP_BATCH groups are evaluated TOGETHER with their
             # instruction streams interleaved step-by-step; only the final
-            # carry update (a few (1, P) ops per group) is serial.
-            def eval_groups(cols, state):
+            # carry update (a few (1, band_p) ops per group) is serial.
+            def eval_groups(cols, state, pix_x, pix_y):
                 cr, cg, cb, trans = state
                 nb = len(cols)
                 sls = [(lambda x, pc=pc: x[:, pc : pc + 1]) for pc in cols]
@@ -277,35 +328,65 @@ def _make_kernel(
                     trans = trans * row0(t_l[k])
                 return cr, cg, cb, trans
 
-            state = (cr, cg, cb, trans)
-            # depth order over the permuted columns: k-major, a-minor
+            band_states = [
+                (crs[b], cgs[b], cbs[b], transs[b]) for b in range(n_bands)
+            ]
+            # depth order over the permuted columns: k-major, a-minor; for
+            # each segment, each band is evaluated only when some splat in
+            # the segment can reach the band's pixel-row range
             for k0 in range(0, 8, seg_k):
                 cols = [8 * a + k for k in range(k0, k0 + seg_k) for a in range(16)]
+                m = (g_lane % 8 >= k0) & (g_lane % 8 < k0 + seg_k)
+                for b in range(n_bands):
+                    def eval_segment(st, cols=cols, b=b):
+                        s_ = st
+                        px, py = band_pix[b]
+                        for c0 in range(0, len(cols), group_batch):
+                            s_ = eval_groups(cols[c0 : c0 + group_batch], s_, px, py)
+                        return s_
 
-                def eval_segment(state=state, cols=cols):
-                    s = state
-                    for c0 in range(0, len(cols), group_batch):
-                        s = eval_groups(cols[c0 : c0 + group_batch], s)
-                    return s
-
-                if group_skip:
-                    m = (g_lane % 8 >= k0) & (g_lane % 8 < k0 + seg_k)
-                    seg_live = jnp.max(jnp.where(m, op_g, 0.0))
-                    state = lax.cond(seg_live > 0.0, eval_segment, lambda s=state: s)
-                else:
-                    state = eval_segment()
-            cr, cg, cb, trans = state
-            return ci + 1, cr, cg, cb, trans
+                    if group_skip:
+                        band_lo = (tile_y + b * band_rows).astype(jnp.float32) + 0.5
+                        band_hi = band_lo + (band_rows - 1)
+                        reach = m & (gmin <= band_hi) & (gmax >= band_lo)
+                        live = jnp.max(jnp.where(reach, op_g, 0.0))
+                        band_states[b] = lax.cond(
+                            live > 0.0, eval_segment, lambda st: st, band_states[b]
+                        )
+                    else:
+                        band_states[b] = eval_segment(band_states[b])
+            return (
+                ci + 1,
+                tuple(st[0] for st in band_states),
+                tuple(st[1] for st in band_states),
+                tuple(st[2] for st in band_states),
+                tuple(st[3] for st in band_states),
+            )
 
         def chunk_cond(carry):
-            ci, _, _, _, trans = carry
-            return jnp.logical_and(ci < n_chunks, jnp.max(trans) > eps)
+            ci, _, _, _, transs = carry
+            t_max = transs[0]
+            for b in range(1, n_bands):
+                t_max = jnp.maximum(t_max, transs[b])
+            return jnp.logical_and(ci < n_chunks, jnp.max(t_max) > eps)
 
-        zero = jnp.zeros((1, p), jnp.float32)
-        one = jnp.ones((1, p), jnp.float32)
-        ci_f, cr, cg, cb, trans = lax.while_loop(
-            chunk_cond, chunk_body, (jnp.int32(0), zero, zero, zero, one)
+        zero = jnp.zeros((1, band_p), jnp.float32)
+        one = jnp.ones((1, band_p), jnp.float32)
+        ci_f, crs, cgs, cbs, transs = lax.while_loop(
+            chunk_cond,
+            chunk_body,
+            (
+                jnp.int32(0),
+                (zero,) * n_bands,
+                (zero,) * n_bands,
+                (zero,) * n_bands,
+                (one,) * n_bands,
+            ),
         )
+        cr = jnp.concatenate(crs, axis=1) if n_bands > 1 else crs[0]
+        cg = jnp.concatenate(cgs, axis=1) if n_bands > 1 else cgs[0]
+        cb = jnp.concatenate(cbs, axis=1) if n_bands > 1 else cbs[0]
+        trans = jnp.concatenate(transs, axis=1) if n_bands > 1 else transs[0]
 
         # drain the prefetch left in flight by a saturation early-exit
         # (exhaustion exits start no prefetch: the ci+1 < n_chunks guard)
@@ -321,7 +402,7 @@ def _make_kernel(
         # ends; its loop's first wait consumes it (see _warmup note)
         num_t = pl.num_programs(0)
 
-        @pl.when(t + 1 < num_t)
+        @pl.when((t + 1 < num_t) & cross_tile)
         def _next_tile():
             nstart = ranges_ref[t + 1]
             nend = ranges_ref[t + 2]
@@ -360,6 +441,18 @@ def rasterize_pallas(
     tw, th = config.tile_w, config.tile_h
     if (tw * th) % 128 != 0:
         raise ValueError("tile_w * tile_h must be a multiple of 128")
+    bands = max(1, int(config.y_bands))
+    # Off-TPU the kernel runs through the interpreter as one giant unrolled
+    # XLA program; banding multiplies the unrolled blend code by y_bands and
+    # the XLA CPU compile time becomes minutes.  Auto-interpret traces clamp
+    # to 1 band (bit-identical output — banding only skips zero-contribution
+    # work); explicit interpret=True (kernel unit tests) honors y_bands.
+    if bands > 1 and not interpret and jax.default_backend() != "tpu":
+        bands = 1
+    if th % bands != 0 or (tw * th // bands) % 128 != 0:
+        raise ValueError(
+            "y_bands must divide tile_h with (tile_w*tile_h/y_bands) % 128 == 0"
+        )
     tx_tiles, ty_tiles = config.tiles_for(width, height)
     num_tiles = tx_tiles * ty_tiles
     cq = packing.CenterQuant.for_viewport(width, height)
@@ -386,6 +479,7 @@ def rasterize_pallas(
         group_skip=config.group_skip,
         seg_k=config.seg_k,
         group_batch=config.group_batch,
+        y_bands=bands,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
