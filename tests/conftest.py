@@ -24,6 +24,13 @@ import pytest
 assert jax.default_backend() == "cpu", "tests must run on the virtual CPU mesh"
 assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
 
+# Persistent compilation cache: the suite is dominated by XLA CPU compiles of
+# the same kernels across test processes; cache them under .jax_cache
+# (gitignored).  min_compile_time 1s keeps tiny graphs out of the cache.
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 @pytest.fixture(scope="session")
 def rng():

@@ -121,8 +121,10 @@ def test_multiple_viewports_recompile_ok(rng):
 
 @pytest.mark.slow
 def test_slot_budget_tradeoff(rng):
-    """With only 4 slots, oversized splats lose fringe tiles: diagnostics
-    report them and quality degrades gracefully versus 16 slots."""
+    """The overflow pass gives full coverage regardless of tile_slots (the
+    reference's unbounded quads, gaussian.wgsl:47-53); with overflow
+    disabled, oversized splats lose fringe tiles and the diagnostics report
+    them."""
     # big splats (up to several tiles across) to force rect clamping at 4 slots
     cloud = make_cloud(rng, n=80, scale_range=(-2.5, -1.3))
     cam = make_camera(viewport=(W, H))
@@ -135,8 +137,17 @@ def test_slot_budget_tradeoff(rng):
     img64 = r64.render(cam, (W, H), args, with_diag=True)
     r4 = GaussianRenderer(cloud, RasterConfig(raster_backend="xla", tile_slots=4))
     img4 = r4.render(cam, (W, H), args, with_diag=True)
+    r4c = GaussianRenderer(
+        cloud,
+        RasterConfig(raster_backend="xla", tile_slots=4, overflow_capacity=0),
+    )
+    img4c = r4c.render(cam, (W, H), args, with_diag=True)
 
     assert r64._last_diag["num_clamped"] == 0
     assert psnr(img64, ref) > 40
-    assert r4._last_diag["num_clamped"] > 0
-    assert psnr(img4, ref) > 6  # heavily clamped but sane
+    # 4 slots + overflow: full coverage — no residual, quality matches 64
+    assert r4._last_diag["num_clamped"] == 0
+    assert psnr(img4, ref) > 40
+    # overflow off: clamped splats lose tiles, reported and degraded
+    assert r4c._last_diag["num_clamped"] > 0
+    assert psnr(img4c, ref) > 6

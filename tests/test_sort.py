@@ -83,3 +83,30 @@ def test_tile_ranges_with_sentinels(rng):
     )
     ranges = np.asarray(tile_ranges(jnp.asarray(keys), num_tiles, depth_bits))
     assert ranges[-1] == 100  # sentinels excluded from the last tile's range
+
+
+def test_prefix_ladder_matches_full_sort():
+    """n_valid prefix-ladder sorts must equal the full sort whenever the
+    valid keys form a prefix with an all-sentinel tail (the fused-frontend
+    exact-cursor contract)."""
+    rng = np.random.default_rng(7)
+    m = 1 << 18
+    for n_valid in (0, 1, 977, m // 3, m - 1, m):
+        keys = np.full((m,), 0xFFFFFFFF, np.uint32)
+        # distinct keys: the sort is deliberately UNstable, so duplicate keys
+        # may permute payload differently between the two runs
+        keys[:n_valid] = rng.permutation(
+            np.arange(n_valid, dtype=np.uint32) * 997 + 13
+        )
+        pay = rng.integers(0, 1 << 32, m, dtype=np.uint32)
+        ref_k, (ref_p,) = sort_instances(jnp.asarray(keys), [jnp.asarray(pay)])
+        lad_k, (lad_p,) = sort_instances(
+            jnp.asarray(keys), [jnp.asarray(pay)], n_valid=jnp.int32(n_valid)
+        )
+        np.testing.assert_array_equal(np.asarray(ref_k), np.asarray(lad_k))
+        # payload rows tied to valid keys must match; the sentinel tail's
+        # payload is unspecified (never read: tile ranges end at the first
+        # sentinel)
+        np.testing.assert_array_equal(
+            np.asarray(ref_p)[:n_valid], np.asarray(lad_p)[:n_valid]
+        )

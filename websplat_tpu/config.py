@@ -39,11 +39,39 @@ class RasterConfig:
 
     # Maximum number of tile instances each splat may emit during binning
     # (the sort size is N * tile_slots).  Splats whose screen-space extent
-    # covers more tiles emit their CENTER-OUT highest-contribution tiles and
-    # drop the periphery (ops/preprocess.py iter_slots).  6 is the
-    # speed-tuned default (37 FPS / 31 dB-vs-oracle at bonsai scale);
-    # 12 is the quality preset (34 FPS / 34 dB).
+    # covers more tiles emit their first tile_slots rect tiles here and the
+    # REST through the overflow pass (below), which restores the reference's
+    # unbounded per-splat coverage (gaussian.wgsl:47-53).  With overflow
+    # disabled, oversized splats emit their CENTER-OUT highest-contribution
+    # tiles and drop the periphery (ops/preprocess.py iter_slots).
     tile_slots: int = 6
+
+    # Overflow pass for clamped splats (fused-frontend path only): the
+    # frontend emits the compacted indices of splats with n_rect > tile_slots
+    # (typically <1%); the renderer gathers just those and emits their
+    # remaining rect tiles (row-major ranks tile_slots..overflow_slots) in a
+    # cheap XLA pass concatenated into the stream before the sort.
+    # overflow_capacity = max clamped splats handled per frame (static;
+    # excess splats keep only their first tile_slots tiles); 0 disables.
+    # overflow_slots = per-splat coverage of the WALK stage incl. the main
+    # pass; splats with bigger rects ("giants", e.g. a screen-filling floor
+    # gaussian) get FULL dense-grid coverage for up to
+    # overflow_grid_capacity of them — so coverage is unbounded, like the
+    # reference's quads, for every realistic frame.
+    overflow_capacity: int = 8192
+    overflow_slots: int = 32
+    overflow_grid_capacity: int = 128
+
+    @property
+    def overflow_enabled(self) -> bool:
+        return self.overflow_capacity > 0 and self.overflow_slots > self.tile_slots
+
+    def overflow_capacity_for(self, n: int) -> int:
+        """Effective clamped-splat capacity for an n-splat cloud: there can
+        never be more clamped splats than splats, so small scenes (tests,
+        previews) shrink the overflow stream instead of paying the static
+        worst case."""
+        return min(self.overflow_capacity, max(128, -(-n // 128) * 128))
 
     # Instance padding granularity (= the Pallas rasterizer DMA chunk).
     chunk_size: int = 1024

@@ -84,24 +84,37 @@ def _make_kernel(
     height: int,
     config: RasterConfig,
     compressed: bool,
+    capacity_c_pad: int = 0,
 ):
+    # capacity_c_pad > 0 adds a SIXTH compacted stream: the global indices of
+    # CLAMPED splats (visible & n_rect > slots), written by its own
+    # exact-cursor writer.  The renderer's overflow pass re-reads just those
+    # splats and emits their remaining rect tiles (row-major ranks >= slots),
+    # restoring the reference's unbounded per-splat coverage
+    # (gaussian.wgsl:47-53) at ~1%-of-splats cost.
+    with_cid = capacity_c_pad > 0
+
     def kernel(scal_ref, *refs):
-        # refs: 34 inputs, 6 outputs, then scratch (5 staged, 5 carry, sems,
-        # smem)
+        # refs layout: 34 inputs; outputs (5 stream + stats [+ cid]);
+        # scratch (5+cid staged, 5+cid carry, sems, smem)
         ins = refs[:34]
+        n_out = 6 + (1 if with_cid else 0)
         keys_out, o0, o1, o2, o3, stats_out = refs[34:40]
-        st_k, st_0, st_1, st_2, st_3 = refs[40:45]
-        ca_k, ca_0, ca_1, ca_2, ca_3 = refs[45:50]
-        sems, state = refs[50:]
+        cid_out = refs[40] if with_cid else None
+        sc = 34 + n_out
+        n_st = 5 + (1 if with_cid else 0)
+        stages_all = refs[sc : sc + n_st]
+        carries_all = refs[sc + n_st : sc + 2 * n_st]
+        sems, state = refs[sc + 2 * n_st :]
         outs = (keys_out, o0, o1, o2, o3)
-        stages = (st_k, st_0, st_1, st_2, st_3)
-        carries = (ca_k, ca_0, ca_1, ca_2, ca_3)
+        stages = stages_all[:5]
+        carries = carries_all[:5]
 
         s = pl.program_id(0)
 
         @pl.when(s == 0)
         def _init():
-            for i in range(4):
+            for i in range(6):
                 state[i] = 0
 
         def block(r):
@@ -147,17 +160,92 @@ def _make_kernel(
         row = lax.broadcasted_iota(jnp.int32, (ROWS, 128), 0)
         flat_pos = row * 128 + lane
 
-        def unit_dma(w, off):
-            return pltpu.make_async_copy(
-                stages[w], outs[w].at[pl.ds(off, STAGE)], sems.at[w]
-            )
-
         # (SROWS, 128) iotas for the carry-merge select
         s_lane = lax.broadcasted_iota(jnp.int32, (SROWS, 128), 1)
         s_row = lax.broadcasted_iota(jnp.int32, (SROWS, 128), 0)
         s_flat = s_row * 128 + s_lane
 
-        for j, slot_ok, tile in iter_slots(d, slots, tx_tiles):
+        def compact_block(ok, arrs):
+            """Monotone-shuffle compaction of (ROWS, 128) u32 arrays by the
+            int32 0/1 mask ``ok`` (flat row-major order).  arrs[0] is the
+            key; positions past the valid count are NOT masked here."""
+            inv = 1 - ok
+            pre = inv
+            for i in range(LOG2):
+                k = 1 << i
+                pre = pre + jnp.where(flat_pos >= k, _flat_roll(pre, k), 0)
+            shift = (pre - inv).astype(jnp.uint32)
+            work = [shift] + list(arrs)
+            for i in range(LOG2):
+                k = 1 << i
+                rolled = [_flat_roll(a, SPLATS - k) for a in work]
+                arrives = (rolled[0] & np.uint32(k)) != 0
+                work = [jnp.where(arrives, r, a) for r, a in zip(rolled, work)]
+            return tuple(work[1:])
+
+        def stream_write(vals, cnt, fills, *, st, ca, out_refs, sem0,
+                         cursor_idx, cap_pad):
+            """EXACT-cursor ordered-overlap stream append.  The stream cursor
+            advances by exactly cnt (no ALIGN rounding): the staged write is
+            [carry-tile | compacted unit] placed at the ALIGN-floored cursor,
+            where the carry tile re-writes the partial last tile of the
+            stream so far.  DMA completion must stay ORDERED per word
+            (wait-before-overwrite), and the sub-ALIGN tail of each write is
+            carried in VMEM to be prepended to the next unit."""
+            nw = len(vals)
+            total = state[cursor_idx]
+            carry_len = lax.rem(total, ALIGN)
+            aligned = total - carry_len
+            off_clamped = pl.multiple_of(
+                jnp.minimum(aligned, cap_pad - STAGE), ALIGN
+            )
+
+            def dma(w):
+                return pltpu.make_async_copy(
+                    st[w], out_refs[w].at[pl.ds(off_clamped, STAGE)],
+                    sems.at[sem0 + w],
+                )
+
+            @pl.when(total > 0)
+            def _wait_prev():
+                for w in range(nw):
+                    dma(w).wait()
+
+            for w in range(nw):
+                ext = jnp.concatenate(
+                    [
+                        vals[w],
+                        jnp.full((SROWS - ROWS, 128), fills[w], jnp.uint32),
+                    ],
+                    axis=0,
+                )
+                rolled = _flat_roll_dyn(ext, carry_len, SROWS)
+                carry_full = jnp.concatenate(
+                    [
+                        ca[w][...].reshape(CARRY_ROWS, 128),
+                        jnp.full(
+                            (SROWS - CARRY_ROWS, 128), fills[w], jnp.uint32
+                        ),
+                    ],
+                    axis=0,
+                )
+                merged = jnp.where(s_flat < carry_len, carry_full, rolled)
+                st[w][...] = merged.reshape(STAGE)
+
+            # new carry = the partial tile at the advanced cursor
+            stage_len = carry_len + cnt
+            advance = stage_len - lax.rem(stage_len, ALIGN)
+            adv_c = pl.multiple_of(jnp.minimum(advance, SPLATS), ALIGN)
+            for w in range(nw):
+                ca[w][...] = st[w][pl.ds(adv_c, ALIGN)]
+            for w in range(nw):
+                dma(w).start()
+
+            state[cursor_idx] = total + cnt
+
+        for j, slot_ok, tile in iter_slots(
+            d, slots, tx_tiles, center_out=not with_cid
+        ):
             ok = slot_ok.astype(jnp.int32)
             key = jnp.where(
                 slot_ok,
@@ -166,27 +254,14 @@ def _make_kernel(
             )
             cnt = jnp.sum(ok)
 
-            def do_shuffle(key=key, ok=ok):
-                inv = 1 - ok
-                pre = inv
-                for i in range(LOG2):
-                    k = 1 << i
-                    pre = pre + jnp.where(flat_pos >= k, _flat_roll(pre, k), 0)
-                shift = (pre - inv).astype(jnp.uint32)
-                arrs = [shift, key] + list(words)
-                for i in range(LOG2):
-                    k = 1 << i
-                    rolled = [_flat_roll(a, SPLATS - k) for a in arrs]
-                    arrives = (rolled[0] & np.uint32(k)) != 0
-                    arrs = [
-                        jnp.where(arrives, r, a) for r, a in zip(rolled, arrs)
-                    ]
+            def do_shuffle(key=key, ok=ok, cnt=cnt):
+                arrs = compact_block(ok, [key] + list(words))
                 key_c = jnp.where(
-                    flat_pos >= cnt, jnp.uint32(INVALID_KEY), arrs[1]
+                    flat_pos >= cnt, jnp.uint32(INVALID_KEY), arrs[0]
                 )
-                return (key_c,) + tuple(arrs[2:])
+                return (key_c,) + tuple(arrs[1:])
 
-            def no_shuffle(key=key):
+            def no_shuffle():
                 return (jnp.full((ROWS, 128), INVALID_KEY, jnp.uint32),) + tuple(
                     jnp.zeros((ROWS, 128), jnp.uint32) for _ in range(4)
                 )
@@ -195,59 +270,40 @@ def _make_kernel(
 
             @pl.when(cnt > 0)
             def _write():
-                # EXACT-cursor ordered-overlap protocol.  The stream cursor
-                # advances by exactly cnt (no ALIGN rounding): the staged
-                # write is [carry-tile | compacted unit] placed at the
-                # ALIGN-floored cursor, where the carry tile re-writes the
-                # partial last tile of the stream so far.  DMA completion
-                # must stay ORDERED per word (wait-before-overwrite), and the
-                # sub-ALIGN tail of each write is carried in VMEM to be
-                # prepended to the next unit.
-                total = state[0]
-                carry_len = lax.rem(total, ALIGN)
-                aligned = total - carry_len
-                off_clamped = pl.multiple_of(
-                    jnp.minimum(aligned, capacity_pad - STAGE), ALIGN
+                stream_write(
+                    vals, cnt, (jnp.uint32(INVALID_KEY),) + (jnp.uint32(0),) * 4,
+                    st=stages, ca=carries, out_refs=outs, sem0=0,
+                    cursor_idx=0, cap_pad=capacity_pad,
                 )
-
-                @pl.when(total > 0)
-                def _wait_prev():
-                    for w in range(5):
-                        unit_dma(w, off_clamped).wait()
-
-                fills = (jnp.uint32(INVALID_KEY),) + (jnp.uint32(0),) * 4
-                for w in range(5):
-                    ext = jnp.concatenate(
-                        [
-                            vals[w],
-                            jnp.full((SROWS - ROWS, 128), fills[w], jnp.uint32),
-                        ],
-                        axis=0,
-                    )
-                    rolled = _flat_roll_dyn(ext, carry_len, SROWS)
-                    carry_full = jnp.concatenate(
-                        [
-                            carries[w][...].reshape(CARRY_ROWS, 128),
-                            jnp.full(
-                                (SROWS - CARRY_ROWS, 128), fills[w], jnp.uint32
-                            ),
-                        ],
-                        axis=0,
-                    )
-                    merged = jnp.where(s_flat < carry_len, carry_full, rolled)
-                    stages[w][...] = merged.reshape(STAGE)
-
-                # new carry = the partial tile at the advanced cursor
-                stage_len = carry_len + cnt
-                advance = stage_len - lax.rem(stage_len, ALIGN)
-                adv_c = pl.multiple_of(jnp.minimum(advance, SPLATS), ALIGN)
-                for w in range(5):
-                    carries[w][...] = stages[w][pl.ds(adv_c, ALIGN)]
-                for w in range(5):
-                    unit_dma(w, off_clamped).start()
-
-                state[0] = total + cnt
                 state[1] = state[1] + cnt
+
+        if with_cid:
+            # clamped-splat id stream: global splat index of every visible
+            # splat whose rect exceeds the slot budget, compacted exactly
+            # like the instance stream (1-word units, own cursor/sem)
+            cid_mask = d["visible"] & (d["n_rect"] > slots)
+            cid_ok = cid_mask.astype(jnp.int32)
+            cid = (s * SPLATS + flat_pos).astype(jnp.uint32)
+            cid_key = jnp.where(cid_mask, cid, jnp.uint32(INVALID_KEY))
+            cid_cnt = jnp.sum(cid_ok)
+
+            def cid_shuffle(cid_key=cid_key, cid_ok=cid_ok, cid_cnt=cid_cnt):
+                (c,) = compact_block(cid_ok, [cid_key])
+                return jnp.where(flat_pos >= cid_cnt, jnp.uint32(INVALID_KEY), c)
+
+            def cid_none():
+                return jnp.full((ROWS, 128), INVALID_KEY, jnp.uint32)
+
+            cid_vals = lax.cond(cid_cnt > 0, cid_shuffle, cid_none)
+
+            @pl.when(cid_cnt > 0)
+            def _write_cid():
+                stream_write(
+                    (cid_vals,), cid_cnt, (jnp.uint32(INVALID_KEY),),
+                    st=stages_all[5:6], ca=carries_all[5:6],
+                    out_refs=(cid_out,), sem0=5,
+                    cursor_idx=4, cap_pad=capacity_c_pad,
+                )
 
         @pl.when(s == n_steps - 1)
         def _finish():
@@ -264,6 +320,16 @@ def _make_kernel(
                         sems.at[w],
                     ).wait()
 
+            if with_cid:
+
+                @pl.when(state[4] > 0)
+                def _drain_cid():
+                    pltpu.make_async_copy(
+                        stages_all[5],
+                        cid_out.at[pl.ds(jnp.int32(0), STAGE)],
+                        sems.at[5],
+                    ).wait()
+
             li = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
             stats = jnp.where(
                 li == 0,
@@ -271,7 +337,15 @@ def _make_kernel(
                 jnp.where(
                     li == 1,
                     state[1],
-                    jnp.where(li == 2, state[2], jnp.where(li == 3, state[3], 0)),
+                    jnp.where(
+                        li == 2,
+                        state[2],
+                        jnp.where(
+                            li == 3,
+                            state[3],
+                            jnp.where(li == 4, state[4], 0),
+                        ),
+                    ),
                 ),
             )
             stats_out[...] = stats
@@ -282,7 +356,8 @@ def _make_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "config", "compressed", "capacity", "interpret"
+        "width", "height", "config", "compressed", "capacity", "capacity_c",
+        "interpret"
     ),
 )
 def fused_frontend(
@@ -295,10 +370,15 @@ def fused_frontend(
     config: RasterConfig,
     compressed: bool = False,
     capacity: int,
+    capacity_c: int = 0,
     interpret: bool = False,
 ):
     """cloud -> (keys, payload4, num_visible, num_clamped, num_valid,
-    num_dropped): the whole frame frontend in one kernel launch."""
+    num_dropped): the whole frame frontend in one kernel launch.
+
+    capacity_c > 0 additionally returns (clamped_ids, num_clamped_ids):
+    a compacted u32 prefix of the global indices of clamped splats
+    (sentinel-tailed), for the renderer's overflow pass."""
     n = cloud.opacity.shape[0]
     slots = config.tile_slots
     tx_tiles, ty_tiles = config.tiles_for(width, height)
@@ -343,6 +423,10 @@ def fused_frontend(
         ]
     ).astype(jnp.float32)
 
+    with_cid = capacity_c > 0
+    capacity_c_pad = (-(-capacity_c // ALIGN) * ALIGN + STAGE) if with_cid else 0
+    n_streams = 5 + (1 if with_cid else 0)
+
     kernel = _make_kernel(
         slots=slots,
         tx_tiles=tx_tiles,
@@ -353,7 +437,17 @@ def fused_frontend(
         height=height,
         config=config,
         compressed=compressed,
+        capacity_c_pad=capacity_c_pad,
     )
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 5 + [
+        pl.BlockSpec((1, 128), lambda s, scal: (0, 0), memory_space=pltpu.VMEM)
+    ]
+    out_shapes = [jax.ShapeDtypeStruct((capacity_pad,), jnp.uint32)] * 5 + [
+        jax.ShapeDtypeStruct((1, 128), jnp.int32)
+    ]
+    if with_cid:
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        out_shapes.append(jax.ShapeDtypeStruct((capacity_c_pad,), jnp.uint32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_steps,),
@@ -361,29 +455,27 @@ def fused_frontend(
             pl.BlockSpec((SPLATS,), lambda s, scal: (s,), memory_space=pltpu.VMEM)
         ]
         * 34,
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((STAGE,), jnp.uint32)] * n_streams
+        + [pltpu.VMEM((ALIGN,), jnp.uint32)] * n_streams
         + [
-            pl.BlockSpec((1, 128), lambda s, scal: (0, 0), memory_space=pltpu.VMEM)
+            pltpu.SemaphoreType.DMA((n_streams,)),
+            pltpu.SMEM((6,), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((STAGE,), jnp.uint32)] * 5
-        + [pltpu.VMEM((ALIGN,), jnp.uint32)] * 5
-        + [pltpu.SemaphoreType.DMA((5,)), pltpu.SMEM((4,), jnp.int32)],
     )
     interp = (
         pltpu.InterpretParams()
         if (interpret or jax.default_backend() != "tpu")
         else False
     )
-    out_shapes = [jax.ShapeDtypeStruct((capacity_pad,), jnp.uint32)] * 5 + [
-        jax.ShapeDtypeStruct((1, 128), jnp.int32)
-    ]
-    keys, w0, w1, w2, w3, stats = pl.pallas_call(
+    res = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interp,
     )(scal, *inputs)
+    keys, w0, w1, w2, w3, stats = res[:6]
 
     total = stats[0, 0]
     num_valid = stats[0, 1]
@@ -394,4 +486,16 @@ def fused_frontend(
     cap_iota = jnp.arange(capacity_pad, dtype=jnp.int32)
     tail = cap_iota >= jnp.minimum(total, limit)
     keys = jnp.where(tail, jnp.uint32(INVALID_KEY), keys)
-    return keys, (w0, w1, w2, w3), num_visible, num_clamped, num_valid, num_dropped
+    out = (keys, (w0, w1, w2, w3), num_visible, num_clamped, num_valid,
+           num_dropped)
+    if with_cid:
+        cid = res[6]
+        cid_total = stats[0, 4]
+        n_cid = jnp.minimum(cid_total, capacity_c)
+        cid = jnp.where(
+            jnp.arange(capacity_c_pad, dtype=jnp.int32) >= n_cid,
+            jnp.uint32(INVALID_KEY),
+            cid,
+        )[:capacity_c]
+        out = out + (cid, n_cid)
+    return out

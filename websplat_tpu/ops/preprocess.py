@@ -108,6 +108,9 @@ class PreprocessOut(NamedTuple):
     # (renderer.rs:170-189)
     num_clamped: jnp.ndarray  # scalar int32 — splats whose tile rect exceeded
     # the slot budget (coverage loss diagnostic; no reference counterpart)
+    clamped_ids: Optional[jnp.ndarray] = None  # (overflow_capacity,) u32
+    # compacted indices of clamped splats (0xFFFFFFFF sentinel tail) for the
+    # overflow pass; None unless requested
 
 
 class PreprocessPacked(NamedTuple):
@@ -362,11 +365,22 @@ def core_math(
         return rect_min_a(bx0, bx1, by0, by1) <= 2.0 * CUTOFF
 
     # center tile of the rect (for the clamped-splat center-out walk):
-    # INTEGER rect midpoint, not floor(px/ts) — float rounding can differ
-    # between the XLA and Mosaic compilations of the same math at tile
-    # boundaries, and the two frontends must emit identical instance sets
-    ct_x = tx0 + (tx1 - tx0) // 2
-    ct_y = ty0 + (ty1 - ty0) // 2
+    # INTEGER midpoint of the UNCLAMPED rect (= the splat's true center tile
+    # for the symmetric-extent rect), clamped into the visible rect.  Not
+    # floor(px/ts) — float rounding can differ between the XLA and Mosaic
+    # compilations of the same math at tile boundaries, and the two frontends
+    # must emit identical instance sets; rx0/rx1 are the exact floats tx0/tx1
+    # derive from, so no new rounding class.  Using the CLAMPED midpoint here
+    # shifted the walk center off the true center tile for splats cut by the
+    # viewport edge, and the slot budget then dropped the center tile itself
+    # (peak luminance lost, found via the two-splat e2e probe).
+    lim = jnp.float32(1 << 20)
+    urx0 = jnp.clip(rx0, -lim, lim).astype(jnp.int32)
+    urx1 = jnp.clip(rx1, -lim, lim).astype(jnp.int32)
+    ury0 = jnp.clip(ry0, -lim, lim).astype(jnp.int32)
+    ury1 = jnp.clip(ry1, -lim, lim).astype(jnp.int32)
+    ct_x = jnp.clip(urx0 + (urx1 - urx0) // 2, tx0, tx1)
+    ct_y = jnp.clip(ury0 + (ury1 - ury0) // 2, ty0, ty1)
 
     return dict(
         visible=visible,
@@ -382,6 +396,9 @@ def core_math(
         h_t=h_t,
         n_rect=n_rect,
         reaches=reaches,
+        # raw per-splat values needed to rebuild `reaches` on a gathered
+        # subset (overflow_emit's giant-splat grid stage)
+        reach_raw=(px, py, half_a, conic_b, half_c),
     )
 
 
@@ -419,7 +436,7 @@ def iter_slots(d, slots: int, tx_tiles: int, center_out: bool = True):
     center-out candidate sequence classified by rect shape; out-of-rect
     candidates waste budget only for them, and they are dropping tiles
     either way — this chooses WHICH tiles drop by contribution."""
-    if slots > len(_SEQ_SQUARE):
+    if center_out and slots > len(_SEQ_SQUARE):
         raise ValueError(f"tile_slots > {len(_SEQ_SQUARE)} not supported")
     dx = jnp.zeros_like(d["tx0"])
     dy = jnp.zeros_like(d["tx0"])
@@ -491,11 +508,19 @@ def preprocess(
     config: RasterConfig,
     compressed: bool = False,
     emit: str = "slots",
+    overflow_capacity: int = 0,
 ):
     """emit="slots": materialized (M_pad,) slot-instance stream (PreprocessOut,
     feeds lax.sort directly or the standalone compactor).  emit="packed":
     per-splat words for the fused emission+compaction kernel
-    (PreprocessPacked)."""
+    (PreprocessPacked).
+
+    overflow_capacity > 0 (slots emit only) switches the walk to pure
+    row-major — so the overflow pass's ranks [tile_slots, overflow_slots)
+    complement the main pass exactly — and returns ``clamped_ids``: the
+    first overflow_capacity indices of visible splats with n_rect >
+    tile_slots (0xFFFFFFFF sentinel tail), mirroring the fused frontend's
+    compacted cid stream."""
     n = cloud.opacity.shape[0]
     tx_tiles, ty_tiles = config.tiles_for(width, height)
     tile_bits, depth_bits = config.key_bits(width, height)
@@ -519,7 +544,8 @@ def preprocess(
     keys_slots = []
     mask = jnp.zeros((n,), jnp.uint32)
     for j, slot_ok, tile in iter_slots(
-        d, slots, tx_tiles, center_out=(emit != "packed")
+        d, slots, tx_tiles,
+        center_out=(emit != "packed") and overflow_capacity == 0,
     ):
         if emit == "packed":
             mask = mask | (slot_ok.astype(jnp.uint32) << np.uint32(j))
@@ -581,9 +607,180 @@ def preprocess(
     keys = jnp.concatenate([keys, jnp.full((pad,), invalid_key, jnp.uint32)])
     payload = tuple(jnp.concatenate([w, jnp.zeros((pad,), jnp.uint32)]) for w in payload)
 
+    clamped_ids = None
+    if overflow_capacity > 0:
+        cmask = visible & (n_rect > slots)
+        (ids,) = jnp.nonzero(cmask, size=overflow_capacity, fill_value=n)
+        clamped_ids = jnp.where(
+            ids >= n, jnp.uint32(0xFFFFFFFF), ids.astype(jnp.uint32)
+        )
+
     return PreprocessOut(
         keys=keys,
         payload=payload,
         num_visible=jnp.sum(visible.astype(jnp.int32)),
         num_clamped=jnp.sum((visible & (n_rect > slots)).astype(jnp.int32)),
+        clamped_ids=clamped_ids,
     )
+
+
+def reaches_of(d, gi, ts_x: float, ts_y: float):
+    """Rebuild core_math's ellipse-reaches-tile test on a gathered subset.
+
+    ``gi`` indexes rows of the arrays behind ``d["reach_raw"]``; the returned
+    callable accepts broadcast-compatible tile-coord arrays whose TRAILING
+    axis matches gi (e.g. (n_tiles, g) vs per-splat (g,))."""
+    px, py, ha, hb, hc = (a[gi] for a in d["reach_raw"])
+
+    def rect_min_a(x0, x1, y0, y1):
+        inside_r = (x0 <= 0.0) & (0.0 <= x1) & (y0 <= 0.0) & (0.0 <= y1)
+
+        def edge_x(e):
+            dy_s = jnp.clip(-hb * e / jnp.maximum(2.0 * hc, 1e-20), y0, y1)
+            return ha * e * e + hb * e * dy_s + hc * dy_s * dy_s
+
+        def edge_y(e):
+            dx_s = jnp.clip(-hb * e / jnp.maximum(2.0 * ha, 1e-20), x0, x1)
+            return ha * dx_s * dx_s + hb * dx_s * e + hc * e * e
+
+        best = jnp.minimum(
+            jnp.minimum(edge_x(x0), edge_x(x1)),
+            jnp.minimum(edge_y(y0), edge_y(y1)),
+        )
+        return jnp.where(inside_r, 0.0, best)
+
+    def reaches(tx, ty):
+        bx0 = tx.astype(jnp.float32) * ts_x + 0.5 - px
+        bx1 = bx0 + (ts_x - 1)
+        by0 = ty.astype(jnp.float32) * ts_y + 0.5 - py
+        by1 = by0 + (ts_y - 1)
+        return rect_min_a(bx0, bx1, by0, by1) <= 2.0 * CUTOFF
+
+    return reaches
+
+
+def overflow_emit(
+    cloud: DeviceCloud,
+    camera: CameraParams,
+    settings: DeviceSettings,
+    clamped_ids,
+    *,
+    width: int,
+    height: int,
+    config: RasterConfig,
+    compressed: bool = False,
+):
+    """Emit the remaining rect tiles of CLAMPED splats (overflow pass).
+
+    ``clamped_ids`` is the fused frontend's compacted u32 prefix of global
+    indices of splats with n_rect > tile_slots (0xFFFFFFFF sentinel tail).
+    Gathers just those splats (<=overflow_capacity rows), re-runs core_math
+    on them, and emits in two stages:
+
+    1. WALK stage — row-major rect-walk ranks [tile_slots, overflow_slots);
+       the main pass emitted ranks [0, tile_slots) row-major, so the union
+       is exact full coverage for n_rect <= overflow_slots.
+    2. GRID stage — for up to overflow_grid_capacity GIANT splats
+       (n_rect > overflow_slots, e.g. a screen-filling floor gaussian), a
+       dense (n_tiles, G) emission of every remaining rect tile
+       (row-major rank >= overflow_slots, reach-culled) — no per-rank walk,
+       so coverage is unbounded regardless of rect size.
+
+    Together this restores the reference's unbounded quad coverage
+    (/root/reference/src/shaders/gaussian.wgsl:47-53,
+    preprocess.wgsl:242-251) for every frame with <= overflow_capacity
+    clamped and <= overflow_grid_capacity giant splats; anything beyond is
+    counted in the residual diagnostic.
+
+    Returns (keys, words4, num_clamped_residual): a flat candidate stream
+    (invalid-key holes, NOT compacted) and the count of giant splats beyond
+    the grid capacity (splats that still lost tiles).
+    """
+    invalid = jnp.uint32(0xFFFFFFFF)
+    valid = clamped_ids != invalid
+    idx = jnp.where(valid, clamped_ids, 0).astype(jnp.int32)
+    big = jnp.float32(3.0e38)
+    # padding lanes gather row 0 but are forced off-frustum -> invisible
+    pos = tuple(
+        jnp.where(valid, cloud.xyz[i][idx], big) for i in range(3)
+    )
+    cov6 = tuple(cloud.cov[i][idx] for i in range(6))
+    opacity = cloud.opacity[idx]
+    sh_rows = tuple(cloud.sh[i][idx] for i in range(24))
+
+    tx_tiles, ty_tiles = config.tiles_for(width, height)
+    _, depth_bits = config.key_bits(width, height)
+    view, proj, cam_pos, focal, st = scalars_from_pytrees(camera, settings)
+    d = core_math(
+        pos, cov6, opacity, sh_rows, view, proj, cam_pos, focal, st,
+        width=width, height=height, config=config, compressed=compressed,
+    )
+    w0, w1, w2, w3 = d["words"]
+    depth_q = d["depth_q"]
+
+    keys_slots = []
+    for j, slot_ok, tile in iter_slots(
+        d, config.overflow_slots, tx_tiles, center_out=False
+    ):
+        if j < config.tile_slots:
+            continue
+        keys_slots.append(
+            jnp.where(
+                slot_ok,
+                (tile.astype(jnp.uint32) << np.uint32(depth_bits)) | depth_q,
+                invalid,
+            )
+        )
+    c = clamped_ids.shape[0]
+    k2 = len(keys_slots)
+    keys = jnp.stack(keys_slots, axis=0).reshape(-1)
+    words = tuple(
+        jnp.broadcast_to(w[None, :], (k2, c)).reshape(-1)
+        for w in (w0, w1, w2, w3)
+    )
+
+    # ---- GRID stage: giant splats (n_rect > overflow_slots) ----
+    g = int(config.overflow_grid_capacity)
+    gmask = d["visible"] & (d["n_rect"] > config.overflow_slots)
+    n_giant = jnp.sum(gmask.astype(jnp.int32))
+    residual = jnp.maximum(n_giant - g, 0)
+    if g > 0:
+        (gids,) = jnp.nonzero(gmask, size=g, fill_value=c)
+        gvalid = gids < c
+        gi = jnp.where(gvalid, gids, 0)
+        # per-giant row data (all shapes (g,))
+        tx0g, tx1g = d["tx0"][gi], d["tx1"][gi]
+        ty0g, ty1g = d["ty0"][gi], d["ty1"][gi]
+        wtg = d["w_t"][gi]
+        dqg, visg = depth_q[gi], d["visible"][gi] & gvalid
+        wg = tuple(w[gi] for w in (w0, w1, w2, w3))
+        # dense (n_tiles, g) emission: tile axis FIRST so the captured
+        # per-splat (g,) arrays broadcast along the trailing axis
+        n_tiles = tx_tiles * ty_tiles
+        tid = jnp.arange(n_tiles, dtype=jnp.int32)[:, None]  # (n_tiles, 1)
+        ttx = tid % tx_tiles
+        tty = tid // tx_tiles
+        in_rect = (
+            (ttx >= tx0g) & (ttx <= tx1g) & (tty >= ty0g) & (tty <= ty1g)
+        )
+        # row-major walk rank of this tile — ranks < overflow_slots were
+        # emitted by the main pass + walk stage; duplicates double-blend
+        rank = (tty - ty0g) * wtg + (ttx - tx0g)
+        ok = (
+            visg & in_rect & (rank >= config.overflow_slots)
+            & reaches_of(d, gi, config.tile_w, config.tile_h)(ttx, tty)
+        )
+        gkeys = jnp.where(
+            ok,
+            ((tty * tx_tiles + ttx).astype(jnp.uint32) << np.uint32(depth_bits))
+            | dqg,
+            invalid,
+        ).reshape(-1)
+        keys = jnp.concatenate([keys, gkeys])
+        words = tuple(
+            jnp.concatenate(
+                [wk, jnp.broadcast_to(wv, (n_tiles, g)).reshape(-1)]
+            )
+            for wk, wv in zip(words, wg)
+        )
+    return keys, words, residual

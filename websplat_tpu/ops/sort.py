@@ -29,16 +29,49 @@ def sort_instances(
     keys: jnp.ndarray,
     payload: Sequence[jnp.ndarray],
     backend: str = "xla",
+    n_valid=None,
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, ...]]:
     """Stable-sort instances by the packed u32 key; invalid (0xFFFFFFFF) keys
-    land at the end (radix_sort.wgsl:79's padding convention)."""
+    land at the end (radix_sort.wgsl:79's padding convention).
+
+    ``n_valid`` (traced i32 scalar) asserts that all valid instances occupy
+    the prefix ``keys[:n_valid]`` and everything after is the 0xFFFFFFFF
+    sentinel (the fused-frontend exact-cursor stream guarantees this).  The
+    sort then runs on a power-ladder prefix selected at runtime by
+    ``lax.switch`` — sort cost scales with the actual instance count instead
+    of the static worst-case capacity (the reference's radix sort reads its
+    count from the GPU dispatch indirect buffer for the same reason,
+    gpu_rs.rs:339-366).  The untouched tail is all-sentinel, so the result
+    is globally sorted either way."""
     if backend != "xla":
         raise ValueError(f"unknown sort backend: {backend!r}")
+    ops = (keys,) + tuple(payload)
+    m = int(keys.shape[0])
     # UNstable: equal keys are distinct splats in the same tile at the same
     # quantized depth, whose relative order the reference leaves to GPU
     # scheduling anyway (atomic submission order, preprocess.wgsl:262).
     # Measured ~8% cheaper than a stable sort at bonsai scale.
-    out = lax.sort((keys,) + tuple(payload), num_keys=1, is_stable=False)
+    if n_valid is None or m < (1 << 17):
+        out = lax.sort(ops, num_keys=1, is_stable=False)
+        return out[0], tuple(out[1:])
+    rungs = sorted({max(1, (m * k) // 8) for k in range(1, 8)} | {m})
+
+    def branch(length):
+        def f(ops):
+            head = lax.sort(
+                tuple(o[:length] for o in ops), num_keys=1, is_stable=False
+            )
+            if length == m:
+                return head
+            return tuple(
+                jnp.concatenate([h, o[length:]]) for h, o in zip(head, ops)
+            )
+
+        return f
+
+    thresholds = jnp.asarray(rungs[:-1], jnp.int32)
+    idx = jnp.sum(jnp.asarray(n_valid, jnp.int32) > thresholds)
+    out = lax.switch(idx, [branch(length) for length in rungs], ops)
     return out[0], tuple(out[1:])
 
 

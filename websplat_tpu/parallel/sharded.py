@@ -116,23 +116,58 @@ def make_splat_sharded_renderer(
             and tx_tiles <= 127 and ty_tiles <= 127
             and config.tile_slots <= (16 if jax.default_backend() == "tpu" else 8)
         )
+        overflow = config.overflow_enabled
         if fused_ok:
             from websplat_tpu.ops.frontend_pallas import fused_frontend
 
             n_loc = cloud.opacity.shape[0]
             capacity = max(4096, int(config.instance_capacity_factor * n_loc))
-            keys, payload, nvis, _, _, _ = fused_frontend(
-                cloud, camera, settings, width=width, height=height,
-                config=config, compressed=compressed, capacity=capacity,
-            )
+            if overflow:
+                (keys, payload, nvis, _, _, _, clamped_ids, _) = fused_frontend(
+                    cloud, camera, settings, width=width, height=height,
+                    config=config, compressed=compressed, capacity=capacity,
+                    capacity_c=config.overflow_capacity_for(n_loc),
+                )
+            else:
+                clamped_ids = None
+                keys, payload, nvis, _, _, _ = fused_frontend(
+                    cloud, camera, settings, width=width, height=height,
+                    config=config, compressed=compressed, capacity=capacity,
+                )
             num_visible_local = nvis
         else:
             pre = preprocess(
                 cloud, camera, settings, width=width, height=height,
                 config=config, compressed=compressed,
+                overflow_capacity=(
+                    config.overflow_capacity_for(cloud.opacity.shape[0])
+                    if overflow else 0
+                ),
             )
             keys, payload = pre.keys, pre.payload
+            clamped_ids = pre.clamped_ids
             num_visible_local = pre.num_visible
+        if overflow:
+            # full-coverage parity with the single-chip renderer: append the
+            # local shard's clamped-splat overflow tiles before the sort
+            from websplat_tpu.ops.preprocess import overflow_emit
+
+            okeys, owords, _resid = overflow_emit(
+                cloud, camera, settings, clamped_ids,
+                width=width, height=height, config=config,
+                compressed=compressed,
+            )
+            if okeys.shape[0] > 65536 and pallas_ok:
+                from websplat_tpu.ops.compact_pallas import (
+                    compact_instances as _ci,
+                )
+
+                ocap = min(clamped_ids.shape[0] * 16, okeys.shape[0])
+                okeys, owords, _, _ = _ci(okeys, owords, capacity=ocap)
+            keys = jnp.concatenate([keys, okeys])
+            payload = tuple(
+                jnp.concatenate([w, ow]) for w, ow in zip(payload, owords)
+            )
         sk, sp = sort_instances(keys, payload, backend=config.sort_backend)
 
         # 2. cut the sorted stream into D region buffers (fixed capacity)

@@ -20,6 +20,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 import numpy as np
 
 from websplat_tpu.config import RasterConfig, ResolvedSettings, SplattingArgs, resolve_settings
@@ -176,18 +177,96 @@ def render_frame_impl(
 
         n = cloud.opacity.shape[0]
         capacity = max(4096, int(config.instance_capacity_factor * n))
-        keys, payload, num_visible, num_clamped, _, num_dropped = fused_frontend(
-            cloud, camera, settings, width=width, height=height,
-            config=config, compressed=compressed, capacity=capacity,
-        )
+        overflow = config.overflow_enabled
+        if overflow:
+            (keys, payload, num_visible, num_clamped, num_valid, num_dropped,
+             clamped_ids, _n_cid) = fused_frontend(
+                cloud, camera, settings, width=width, height=height,
+                config=config, compressed=compressed, capacity=capacity,
+                capacity_c=config.overflow_capacity_for(n),
+            )
+        else:
+            keys, payload, num_visible, num_clamped, num_valid, num_dropped = (
+                fused_frontend(
+                    cloud, camera, settings, width=width, height=height,
+                    config=config, compressed=compressed, capacity=capacity,
+                )
+            )
+        # exact-cursor stream: valid instances are a tight prefix, so the
+        # sort can run on a runtime-selected prefix rung (ops/sort.py)
+        n_valid = jnp.minimum(num_valid, capacity)
+        if overflow:
+            # clamped splats' remaining rect tiles, spliced into the stream
+            # at the end of the valid prefix (the region there is sentinel
+            # tail, so the ladder-prefix contract still holds)
+            from websplat_tpu.ops.preprocess import overflow_emit
+
+            okeys, owords, num_clamped_resid = overflow_emit(
+                cloud, camera, settings, clamped_ids,
+                width=width, height=height, config=config,
+                compressed=compressed,
+            )
+            if okeys.shape[0] > 65536 and pallas_ok:
+                # the overflow candidate stream is mostly holes (capacity x
+                # (overflow_slots - tile_slots) slots for ~capacity x ~6 real
+                # tiles); compact it before splicing so the sort pays for
+                # ~actual overflow instances, not the static worst case
+                from websplat_tpu.ops.compact_pallas import (
+                    compact_instances as _ci,
+                )
+
+                ocap = min(clamped_ids.shape[0] * 16, okeys.shape[0])
+                okeys, owords, _, o_dropped = _ci(
+                    okeys, owords, capacity=ocap
+                )
+                num_dropped = num_dropped + o_dropped
+            b = okeys.shape[0]
+            # extend by b rounded to the chunk grain + one spare chunk: the
+            # Pallas rasterizer requires a chunk-multiple stream with at
+            # least chunk_size sentinel headroom past the last instance
+            cs = config.chunk_size
+            ext = (-(-b // cs) + 1) * cs
+            pad_i = jnp.full((ext,), jnp.uint32(0xFFFFFFFF))
+            keys = lax.dynamic_update_slice(
+                jnp.concatenate([keys, pad_i]), okeys, (n_valid,)
+            )
+            payload = tuple(
+                lax.dynamic_update_slice(
+                    jnp.concatenate([w, jnp.zeros((ext,), jnp.uint32)]),
+                    ow, (n_valid,),
+                )
+                for w, ow in zip(payload, owords)
+            )
+            n_valid = n_valid + b
+            num_clamped = num_clamped_resid
         pre = None
     else:
         pre = preprocess(
             cloud, camera, settings, width=width, height=height, config=config,
             compressed=compressed,
+            overflow_capacity=(
+                config.overflow_capacity_for(cloud.opacity.shape[0])
+                if config.overflow_enabled else 0
+            ),
         )
         keys, payload = pre.keys, pre.payload
         num_dropped = jnp.int32(0)
+        n_valid = None
+        if config.overflow_enabled:
+            # same full-coverage semantics as the fused path: append the
+            # clamped splats' remaining rect tiles (holey candidates — the
+            # compactor / sort downstream handle sentinels either way)
+            from websplat_tpu.ops.preprocess import overflow_emit
+
+            okeys, owords, _resid = overflow_emit(
+                cloud, camera, settings, pre.clamped_ids,
+                width=width, height=height, config=config,
+                compressed=compressed,
+            )
+            keys = jnp.concatenate([keys, okeys])
+            payload = tuple(
+                jnp.concatenate([w, ow]) for w, ow in zip(payload, owords)
+            )
         if config.compact and pallas_ok:
             from websplat_tpu.ops.compact_pallas import compact_instances
 
@@ -197,7 +276,7 @@ def render_frame_impl(
                 keys, payload, capacity=capacity
             )
     sorted_keys, sorted_payload = sort_instances(
-        keys, payload, backend=config.sort_backend
+        keys, payload, backend=config.sort_backend, n_valid=n_valid
     )
     tx, ty = config.tiles_for(width, height)
     _, depth_bits = config.key_bits(width, height)
