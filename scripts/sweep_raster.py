@@ -89,6 +89,13 @@ def main():
             kw["seg_k"] = parts[3]
         if len(parts) > 4:
             kw["group_batch"] = parts[4]
+        # instance counts scale ~ (1 + ex/tw)(1 + ey/th): smaller tiles need
+        # proportionally more capacity or instances silently drop and the
+        # timing (and image) is invalid.  Scale the 32x16-tuned factor.
+        kw.setdefault(
+            "instance_capacity_factor",
+            2.0 * max(1.0, ((32 / tw) * (16 / th)) ** 0.5),
+        )
         configs.append(
             dataclasses.replace(
                 RasterConfig(), tile_w=tw, tile_h=th, y_bands=bands, **kw
@@ -125,6 +132,15 @@ def main():
             return img[::256, ::256].sum()
 
         try:
+            _, diag = render_frame_impl(
+                dc, dcam, dset, bg, width=width, height=height, config=config,
+                return_diag=True,
+            )
+            diag = {k: int(v) for k, v in diag.items()}
+            print(f"tile={config.tile_w}x{config.tile_h}: "
+                  f"instances={diag.get('num_instances')} "
+                  f"dropped={diag.get('num_dropped')} "
+                  f"clamped_resid={diag.get('num_clamped')}", flush=True)
             if os.environ.get("WS_SWEEP_RANGES"):
                 t_rng = timed(stage_ranges, dc, dcam, dset)
                 print(f"tile={config.tile_w}x{config.tile_h}: "

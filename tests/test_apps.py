@@ -132,10 +132,10 @@ def test_viewer_smoke(dataset):
         urllib.request.urlopen(req, timeout=10).read()
 
     assert b"websplat-tpu viewer" in get("/")
-    deadline = time.time() + 60
+    deadline = time.time() + 180
     while time.time() < deadline and not state.frame_png:
         time.sleep(0.5)
-    assert state.frame_png, "no frame rendered within 60s"
+    assert state.frame_png, "no frame rendered within 180s"
     f1 = get("/frame.png")
     assert f1[:4] == b"\x89PNG"
     stats = _json.loads(get("/stats"))
@@ -248,3 +248,55 @@ def test_viewer_lazy_redraw(dataset):
     t.join(timeout=60)
     assert state.lazy_skips >= 3, "render loop never settled into lazy skips"
     assert state.frame_png  # a frame was rendered before settling
+
+
+def test_viewer_gallery_and_scene_switch(dataset, tmp_path):
+    """--scenes-dir gallery: /demo lists scenes, /?file= loads one at runtime
+    and path escapes are rejected (reference: public/demo.html +
+    index.html URL-param loader)."""
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from websplat_tpu.apps.viewer import ViewerState, make_handler
+    from websplat_tpu.config import RasterConfig
+
+    root = tmp_path / "gallery"
+    (root / "sceneA").mkdir(parents=True)
+    (root / "sceneA" / "pc.ply").write_bytes(
+        (dataset / "point_cloud.ply").read_bytes()
+    )
+    state = ViewerState(
+        None, None, 32, 16, RasterConfig.for_backend(), scenes_dir=str(root)
+    )
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(state))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    def get(path):
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}{path}", timeout=10
+        ) as r:
+            return r.status, r.read()
+
+    # gallery at /demo and at / while nothing is loaded
+    for path in ("/demo", "/"):
+        code, body = get(path)
+        assert code == 200 and b"sceneA" in body
+
+    assert state.renderer is None
+    code, body = get("/?file=sceneA/pc.ply")
+    assert code == 200 and b"viewer" in body
+    assert state.renderer is not None and state.cloud.num_points == 80
+
+    # directory traversal must be rejected
+    import urllib.error
+
+    try:
+        code, _ = get("/?file=../../etc/passwd")
+    except urllib.error.HTTPError as e:
+        code = e.code
+    assert code == 400
+
+    state.stop = True
+    server.shutdown()

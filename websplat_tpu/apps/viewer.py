@@ -143,32 +143,47 @@ loop();
 
 class ViewerState:
     def __init__(self, cloud, scene, width, height, config, input_path=None,
-                 cameras_save_path=None):
-        self.cloud = cloud
-        self.scene = scene
-        self.input_path = input_path
+                 cameras_save_path=None, scenes_dir=None):
         self.cameras_save_path = cameras_save_path
+        self.scenes_dir = scenes_dir
         self.config = config
         self.width = width
         self.height = height
-        self.renderer = GaussianRenderer(cloud, config)
-        self.controller = CameraController(speed=1.0, sensitivity=1.0)
         self.lock = threading.Lock()
+        self.clock = FrameClock()
+        self.frame_png = b""
+        self.stop = False
+        self.cloud = None
+        self.scene = None
+        self.renderer = None
+        self.input_path = None
+        self._attach(cloud, scene, input_path)
+
+    def _attach(self, cloud, scene, input_path):
+        """Bind a (cloud, scene) pair: fresh renderer, controller, camera and
+        per-scene settings — shared by startup and gallery scene switches
+        (the reference's URL-param loader, index.html:176-234)."""
+        self.cloud = cloud
+        self.scene = scene
+        self.input_path = input_path
+        self.renderer = None if cloud is None else GaussianRenderer(cloud, self.config)
+        self.controller = CameraController(speed=1.0, sensitivity=1.0)
         self.settings = dict(
-            gaussian_scaling=1.0, max_sh_deg=cloud.sh_deg, mip=None, kernel=None,
-            bg=(0.0, 0.0, 0.0),
+            gaussian_scaling=1.0,
+            max_sh_deg=cloud.sh_deg if cloud is not None else 3,
+            mip=None, kernel=None, bg=(0.0, 0.0, 0.0),
         )
         self.walltime = 0.0
         self.animation = None
         self.saved_cameras = []
-        self.clock = FrameClock()
-        self.frame_png = b""
-        self.stop = False
         self.current_view = 0
         # lazy redraw (lib.rs:829-838): skip the scene render when camera +
         # settings + walltime are unchanged since the previous frame
         self._last_sig = None
         self.lazy_skips = 0
+        if cloud is None:
+            self.camera = PerspectiveCamera.default()
+            return
         if scene is not None and scene.num_cameras() > 0:
             self.camera = scene.cameras()[0].to_perspective()
             # controller center from mean camera look-at (lib.rs:507-526)
@@ -182,6 +197,15 @@ class ViewerState:
             self.camera.position = (c + np.array([0, 0, -2.5 * r])).astype(np.float32)
             self.controller.center = np.asarray(c, np.float64)
         self.controller.reset_to_camera(self.camera)
+
+    def load_scene(self, input_path, scene_path=None):
+        """Switch to another scene file at runtime (gallery click — the
+        reference loads ?file=&scene= URL params, index.html:176-234)."""
+        cloud = load_gaussian_cloud(input_path)
+        scene_path = scene_path or find_scene_file(input_path)
+        scene = Scene.from_json(scene_path) if scene_path else None
+        with self.lock:
+            self._attach(cloud, scene, input_path)
 
     def reload(self):
         """Hot reload of the point cloud from disk (Alt+R, lib.rs:296-312)."""
@@ -272,6 +296,9 @@ class ViewerState:
             now = time.perf_counter()
             dt = now - last
             last = now
+            if self.renderer is None:  # gallery mode, nothing loaded yet
+                time.sleep(0.05)
+                continue
             with self.lock:
                 self.walltime = min(self.walltime + dt, 5.0)  # lib.rs:353-355
                 if self.animation is not None:
@@ -286,6 +313,7 @@ class ViewerState:
                     self.controller.update_camera(self.camera, min(dt, 0.1))
                 s = dict(self.settings)
                 cam = self.camera
+                renderer = self.renderer  # stable ref across load_scene swaps
             args = SplattingArgs(
                 gaussian_scaling=s["gaussian_scaling"],
                 max_sh_deg=int(s["max_sh_deg"]),
@@ -308,7 +336,7 @@ class ViewerState:
                 time.sleep(0.005)
                 continue
             self._last_sig = sig
-            img = self.renderer.render(
+            img = renderer.render(
                 cam, (self.width, self.height), args, with_diag=True
             )
             tmp = io.BytesIO()
@@ -352,7 +380,78 @@ def make_handler(state: ViewerState):
             self.end_headers()
             self.wfile.write(body)
 
+        def _gallery_page(self):
+            """Demo-scene gallery: scans --scenes-dir for point clouds and
+            renders a card per scene linking /?file=...&scene=... — the
+            server-side analogue of the reference's static demo page
+            (/root/reference/public/demo.html) + URL-param loader
+            (index.html:176-234)."""
+            root = state.scenes_dir
+            cards = []
+            if root:
+                import os as _os
+
+                for dirpath, _dirs, files in sorted(_os.walk(root)):
+                    for fn in sorted(files):
+                        if not fn.endswith((".ply", ".npz")):
+                            continue
+                        p = _os.path.join(dirpath, fn)
+                        rel = _os.path.relpath(p, root)
+                        scene_json = find_scene_file(p)
+                        q = f"/?file={rel}"
+                        if scene_json:
+                            q += f"&scene={_os.path.relpath(scene_json, root)}"
+                        mb = _os.path.getsize(p) / 1e6
+                        name = _os.path.basename(_os.path.dirname(p)) or fn
+                        cards.append(
+                            f'<a class="card" href="{q}"><b>{name}</b>'
+                            f"<br>{fn}<br><span>{mb:.1f} MB</span></a>"
+                        )
+            body = (
+                "<!DOCTYPE html><title>websplat-tpu demo scenes</title>"
+                "<style>body{font-family:sans-serif;background:#111;color:#eee}"
+                ".grid{display:flex;flex-wrap:wrap;gap:12px}"
+                ".card{border:1px solid #444;border-radius:8px;padding:12px;"
+                "min-width:160px;color:#eee;text-decoration:none}"
+                ".card:hover{background:#222}"
+                "span{color:#888;font-size:smaller}</style>"
+                "<h2>Demo scenes</h2><div class=grid>"
+                + ("".join(cards) or "<p>no scenes found</p>")
+                + "</div>"
+            )
+            self._send(200, body.encode())
+
         def do_GET(self):
+            from urllib.parse import parse_qs, urlparse
+
+            url = urlparse(self.path)
+            if url.path == "/demo":
+                self._gallery_page()
+                return
+            if url.path == "/" and state.scenes_dir:
+                q = parse_qs(url.query)
+                if "file" in q:
+                    import os as _os
+
+                    root = _os.path.realpath(state.scenes_dir)
+
+                    def safe(rel):
+                        p = _os.path.realpath(_os.path.join(root, rel))
+                        if not (p == root or p.startswith(root + _os.sep)):
+                            raise ValueError("path escapes --scenes-dir")
+                        return p
+
+                    try:
+                        f = safe(q["file"][0])
+                        s = safe(q["scene"][0]) if "scene" in q else None
+                        if state.input_path != f:
+                            state.load_scene(f, s)
+                    except Exception as e:  # noqa: BLE001 — surface to browser
+                        self._send(400, f"load failed: {e}".encode())
+                        return
+                elif state.renderer is None:
+                    self._gallery_page()
+                    return
             if self.path.startswith("/frame.png"):
                 self._send(200, state.frame_png or b"", "image/png")
             elif self.path.startswith("/stats"):
@@ -445,26 +544,36 @@ def make_handler(state: ViewerState):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
-    ap.add_argument("input")
+    ap.add_argument("input", nargs="?", default=None)
     ap.add_argument("scene", nargs="?", default=None)
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--width", type=int, default=800)
     ap.add_argument("--height", type=int, default=600)
     ap.add_argument("--save-cameras", default=None,
                     help="write saved views (C key) to this cameras.json")
+    ap.add_argument("--scenes-dir", default=None,
+                    help="serve a demo-scene gallery at /demo from this "
+                         "directory (reference: public/demo.html)")
     args_ns = ap.parse_args(argv)
+    if args_ns.input is None and args_ns.scenes_dir is None:
+        ap.error("need a scene file or --scenes-dir")
 
-    cloud = load_gaussian_cloud(args_ns.input)
-    scene_path = args_ns.scene or find_scene_file(args_ns.input)
-    scene = Scene.from_json(scene_path) if scene_path else None
+    if args_ns.input is not None:
+        cloud = load_gaussian_cloud(args_ns.input)
+        scene_path = args_ns.scene or find_scene_file(args_ns.input)
+        scene = Scene.from_json(scene_path) if scene_path else None
+        n_pts = cloud.num_points
+    else:
+        cloud, scene, n_pts = None, None, 0
     state = ViewerState(
         cloud, scene, args_ns.width, args_ns.height, RasterConfig.for_backend(),
         input_path=args_ns.input, cameras_save_path=args_ns.save_cameras,
+        scenes_dir=args_ns.scenes_dir,
     )
 
     threading.Thread(target=state.render_loop, daemon=True).start()
     server = ThreadingHTTPServer(("127.0.0.1", args_ns.port), make_handler(state))
-    print(f"viewer at http://127.0.0.1:{args_ns.port}/  ({cloud.num_points} splats)")
+    print(f"viewer at http://127.0.0.1:{args_ns.port}/  ({n_pts} splats)")
     server.serve_forever()
 
 
