@@ -1,17 +1,15 @@
 #!/usr/bin/env python
-"""Rasterizer config sweep: frame/raster ms across tile shape / banding /
-segment knobs (VERDICT r1 item 2c).
+"""Sweep rasterizer inner-loop variants x tile shapes on real TPU.
 
-Each config is compiled and slope-timed like profile_stages.py; tile-shape
-changes alter instance counts and sort volume, so the FULL frame is the
-decision metric, with the raster-only share printed for attribution.
+Times ONLY the rasterize stage (frontend/sort/ranges run once, their outputs
+feed every kernel variant) with the slope method (two chained-iteration
+counts inside one jit; the difference cancels fixed overhead — the axon
+tunnel makes block_until_ready a no-op, see CLAUDE.md).
 
 Usage: python scripts/sweep_raster.py [n_splats] [width] [height]
-Optionally set WS_SWEEP to a semicolon list "tw,th,bands[,seg_k,batch]".
 """
 
 import dataclasses
-import os
 import sys
 import time
 
@@ -27,7 +25,6 @@ from websplat_tpu.models.camera import CameraUniforms
 from websplat_tpu.ops.sort import sort_instances, tile_ranges
 from websplat_tpu.render.renderer import (
     camera_to_device,
-    render_frame_impl,
     settings_to_device,
     upload_cloud,
 )
@@ -56,6 +53,23 @@ def timed(f, *args, n1=2, n2=8):
     return (t2 - t1) / (n2 - n1) * 1e3
 
 
+def frontend_sorted(cloud, cam, dset, width, height, config):
+    """One frontend+sort pass -> (sorted payload, ranges) device arrays."""
+    from websplat_tpu.ops.frontend_pallas import fused_frontend
+
+    n = cloud.opacity.shape[0]
+    cap = max(4096, int(config.instance_capacity_factor * n))
+    keys, payload, _, _, num_valid, _ = fused_frontend(
+        cloud, cam, dset, width=width, height=height, config=config,
+        capacity=cap,
+    )
+    sk, sp = sort_instances(keys, payload, n_valid=jnp.minimum(num_valid, cap))
+    tx, ty = config.tiles_for(width, height)
+    _, depth_bits = config.key_bits(width, height)
+    ranges = tile_ranges(sk, tx * ty, depth_bits)
+    return sp, ranges
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_244_819
     width = int(sys.argv[2]) if len(sys.argv) > 2 else 1200
@@ -71,89 +85,55 @@ def main():
     dc = upload_cloud(cloud)
     dcam = camera_to_device(uni)
     dset = settings_to_device(settings)
-    bg = jnp.asarray(settings.background_color, jnp.float32)
+    bg = jnp.zeros((3,), jnp.float32)
 
-    def salted(cam, salt):
-        return cam._replace(view=cam.view + salt * 1e-12)
+    from websplat_tpu.ops.rasterize_pallas import rasterize_pallas
 
-    spec = os.environ.get(
-        "WS_SWEEP",
-        "32,16,1;32,16,2;32,16,4;32,16,8;64,16,4;64,16,8;32,32,4;32,32,8",
-    )
-    configs = []
-    for item in spec.split(";"):
-        parts = [int(x) for x in item.split(",")]
-        tw, th, bands = parts[:3]
-        kw = {}
-        if len(parts) > 3:
-            kw["seg_k"] = parts[3]
-        if len(parts) > 4:
-            kw["group_batch"] = parts[4]
-        # instance counts scale ~ (1 + ex/tw)(1 + ey/th): smaller tiles need
-        # proportionally more capacity or instances silently drop and the
-        # timing (and image) is invalid.  Scale the 32x16-tuned factor.
-        kw.setdefault(
-            "instance_capacity_factor",
-            2.0 * max(1.0, ((32 / tw) * (16 / th)) ** 0.5),
-        )
-        configs.append(
-            dataclasses.replace(
-                RasterConfig(), tile_w=tw, tile_h=th, y_bands=bands, **kw
-            )
-        )
-
+    shapes = [(32, 16), (16, 16), (32, 8), (16, 8), (64, 8), (32, 32)]
+    variants = [("tree", "direct"), ("scan", "direct"),
+                ("tree", "monomial"), ("scan", "monomial")]
+    base_img = None
     print(f"backend={jax.default_backend()} n={n} {width}x{height}")
-    for config in configs:
-        tx, ty = config.tiles_for(width, height)
-        _, depth_bits = config.key_bits(width, height)
+    for tw, th in shapes:
+        cfg = RasterConfig(tile_w=tw, tile_h=th)
+        sp, ranges = jax.jit(
+            frontend_sorted, static_argnames=("width", "height", "config")
+        )(dc, dcam, dset, width=width, height=height, config=cfg)
+        sp = jax.block_until_ready(sp)
+        n_inst = int(ranges[-1])
+        zero = jnp.uint32(0)  # runtime-zero the tracer cannot fold
+        for composite, qform in variants:
+            c = dataclasses.replace(cfg, composite=composite, qform=qform)
 
-        def stage_ranges(dc, dcam, dset, salt=0, config=config, tx=tx, ty=ty,
-                         depth_bits=depth_bits):
-            from websplat_tpu.ops.frontend_pallas import fused_frontend
+            def stage(sp, ranges, bg, zero, salt=0, c=c):
+                # XOR a payload word with salt*zero: the kernel input then
+                # depends on the loop index (no hoist/CSE of the pallas_call
+                # out of the chained loop) while the runtime values — and
+                # the work — stay identical
+                w3 = sp[3] ^ (salt.astype(jnp.uint32) * zero)
+                img = rasterize_pallas(
+                    (sp[0], sp[1], sp[2], w3), ranges, bg,
+                    width=width, height=height, config=c,
+                )
+                return img[::256, ::256].sum()
 
-            cap = max(
-                4096, int(config.instance_capacity_factor * dc.opacity.shape[0])
-            )
-            k, p, _, _, _, _ = fused_frontend(
-                dc, salted(dcam, salt), dset, width=width, height=height,
-                config=config, capacity=cap,
-            )
-            sk, sp = sort_instances(k, p, backend=config.sort_backend)
-            r = tile_ranges(sk, tx * ty, depth_bits)
-            return (
-                sk[::65536].astype(jnp.float32).sum()
-                + sum(w[::65536].astype(jnp.float32).sum() for w in sp)
-                + r.astype(jnp.float32).sum()
-            )
-
-        def stage_full(dc, dcam, dset, bg, salt=0, config=config):
-            img = render_frame_impl(dc, salted(dcam, salt), dset, bg,
-                                    width=width, height=height, config=config)
-            return img[::256, ::256].sum()
-
-        try:
-            _, diag = render_frame_impl(
-                dc, dcam, dset, bg, width=width, height=height, config=config,
-                return_diag=True,
-            )
-            diag = {k: int(v) for k, v in diag.items()}
-            print(f"tile={config.tile_w}x{config.tile_h}: "
-                  f"instances={diag.get('num_instances')} "
-                  f"dropped={diag.get('num_dropped')} "
-                  f"clamped_resid={diag.get('num_clamped')}", flush=True)
-            if os.environ.get("WS_SWEEP_RANGES"):
-                t_rng = timed(stage_ranges, dc, dcam, dset)
-                print(f"tile={config.tile_w}x{config.tile_h}: "
-                      f"front+sort+rng {t_rng:6.2f} ms", flush=True)
-            t_full = timed(stage_full, dc, dcam, dset, bg)
-        except Exception as e:  # noqa: BLE001 — sweep survives bad configs
-            print(f"tile={config.tile_w}x{config.tile_h} bands={config.y_bands} "
-                  f"seg_k={config.seg_k} batch={config.group_batch}: "
-                  f"FAILED {type(e).__name__}: {e}", flush=True)
-            continue
-        print(f"tile={config.tile_w}x{config.tile_h} bands={config.y_bands} "
-              f"seg_k={config.seg_k} batch={config.group_batch}: "
-              f"full {t_full:7.2f} ms", flush=True)
+            try:
+                ms = timed(stage, sp, ranges, bg, zero)
+            except Exception as e:  # Mosaic lowering failures show up here
+                print(f"{tw}x{th} {composite}/{qform}: FAIL {type(e).__name__}: {str(e)[:120]}")
+                continue
+            img = None
+            note = ""
+            if tw == 32 and th == 16:
+                # cross-check outputs at the default shape
+                img = np.asarray(jax.device_get(rasterize_pallas(
+                    sp, ranges, bg, width=width, height=height, config=c)))
+                if base_img is None:
+                    base_img = img
+                else:
+                    note = f"  maxdiff={np.abs(img - base_img).max():.2e}"
+            print(f"{tw}x{th} {composite}/{qform}: {ms:7.2f} ms  n_inst={n_inst}{note}",
+                  flush=True)
 
 
 if __name__ == "__main__":

@@ -150,3 +150,21 @@ def test_band_skipping_bit_exact(rng):
     )
     assert np.isfinite(img_b).all()
     assert np.array_equal(img_b, img_1), np.abs(img_b - img_1).max()
+
+
+@pytest.mark.parametrize(
+    "composite,qform", [("scan", "monomial"), ("tree", "monomial"), ("scan", "direct")]
+)
+def test_inner_loop_variants_agree(rng, composite, qform):
+    """The rasterizer's inner-loop math variants (config.composite/qform)
+    must agree with the default (tree+direct) pipeline: scan-vs-tree is
+    an f32 reassociation of the same over-composite (1-ulp), and the
+    monomial expansion of the quadratic form is bounded to ~1e-4 absolute
+    in `a` by the tile-local coordinates (rasterize_pallas.py band_pix)."""
+    cloud = make_cloud(rng, n=120)
+    cam = make_camera(viewport=(W, H))
+    args = SplattingArgs(background_color=(0.2, 0.1, 0.4))
+    (img_v, _), _ = _render(cloud, cam, args, "pallas", composite=composite, qform=qform), None
+    (img_d, _), _ = _render(cloud, cam, args, "pallas"), None
+    assert np.isfinite(img_v).all()
+    assert np.abs(img_v - img_d).max() < 1e-3

@@ -101,6 +101,26 @@ class RasterConfig:
     # interleaved for ILP — both measured-tuned (see rasterize_pallas.py).
     seg_k: int = 2
     group_batch: int = 4
+    # Inner-loop math variants of the Pallas rasterizer (bit-inexact vs each
+    # other only at the 2*CUTOFF discard boundary and f32 rounding; all
+    # oracle-tested):
+    # - composite "tree": pairwise log-step over-composite of the 8-splat
+    #   group across r/g/b/T (4 streams x 3 roll levels).
+    #   "scan": one masked Hillis-Steele prefix-product of (1-alpha) along
+    #   the sublanes, then weights w = alpha*T_excl accumulate into (8, P)
+    #   per-band channel accumulators reduced once per tile — ~40% fewer
+    #   vector ops per group.
+    # - qform "direct": a = ha*dx^2 + hb*dx*dy + hc*dy^2 per pixel.
+    #   "monomial": a as a per-splat 6-coefficient dot with per-tile pixel
+    #   monomials [X^2, XY, Y^2, X, Y, 1] in TILE-LOCAL coordinates (bounds
+    #   the f32 cancellation error; see rasterize_pallas.py), with log(op)
+    #   folded into the constant term so the alpha multiply and the op>0
+    #   test disappear.
+    # Defaults stay on the measured-good tree/direct pair until the scan/
+    # monomial pair is validated on real Mosaic hardware (interpret mode
+    # exercises semantics, not the TPU lowering).
+    composite: str = "tree"
+    qform: str = "direct"
 
     # Compact invalid instances out before the sort (Pallas kernel): the sort
     # then runs over ~the true instance count instead of N * tile_slots,

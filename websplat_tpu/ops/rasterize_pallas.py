@@ -25,6 +25,15 @@ sort and the kernel, ~2-3 ms of pure data movement at bonsai scale):
   GROUP_BATCH groups are evaluated with their instruction streams
   interleaved (the VPU retires chained vreg ops at ~0.25/cycle but >2/cycle
   given independent streams).
+- Two selectable inner-loop math variants (RasterConfig.composite / .qform,
+  both oracle-tested; see config.py for the trade-offs): composite="scan"
+  replaces the 4-stream log tree with ONE masked Hillis-Steele prefix
+  product of (1-alpha) whose weights accumulate into per-band (8, P)
+  channel accumulators (sublane-reduced once per tile); qform="monomial"
+  evaluates the quadratic form as a per-splat 6-coefficient dot against
+  per-tile pixel monomials in tile-local coordinates with log(opacity)
+  folded into the constant term.  Together they cut the per-(group, pixel)
+  vector-op count roughly in half vs tree/direct.
 - Two-level skipping: segments of seg_k*16 groups sharing one branch (a
   segment = the k-rows of the permuted layout, selected by a lane%8 mask);
   the chunk loop terminates once every pixel saturates (max transmittance
@@ -98,7 +107,13 @@ def _make_kernel(
     seg_k: int = SEG_K,
     group_batch: int = GROUP_BATCH,
     y_bands: int = 1,
+    composite: str = "scan",
+    qform: str = "monomial",
 ):
+    if composite not in ("tree", "scan"):
+        raise ValueError(f"unknown composite: {composite!r}")
+    if qform not in ("direct", "monomial"):
+        raise ValueError(f"unknown qform: {qform!r}")
     p = tile_w * tile_h  # pixels per tile (multiple of 128)
     sub = p // 128
     n_bands = y_bands
@@ -123,12 +138,31 @@ def _make_kernel(
         band_pix = []
         for b in range(n_bands):
             f = b * band_p + lax.broadcasted_iota(jnp.int32, (1, band_p), 1)
-            band_pix.append(
-                (
-                    (tile_x + f % tile_w).astype(jnp.float32) + 0.5,
-                    (tile_y + f // tile_w).astype(jnp.float32) + 0.5,
+            if qform == "monomial":
+                # TILE-LOCAL pixel-center coordinates (t-invariant: Mosaic
+                # hoists them out of the grid).  Local coordinates bound the
+                # f32 cancellation of the expanded quadratic form: every
+                # monomial term stays O((extent/sigma)^2) <~ 2e3, so the
+                # absolute error in `a` is <~ 1e-4 (alpha error <0.01%).
+                xl = (f % tile_w).astype(jnp.float32) + 0.5
+                yl = (f // tile_w).astype(jnp.float32) + 0.5
+                # negated square monomials: na = ha*mx2 + hb*mxy + hc*my2
+                # + c3*xl + c4*yl + c5 needs no coefficient negations
+                band_pix.append((xl, yl, -(xl * xl), -(xl * yl), -(yl * yl)))
+            else:
+                band_pix.append(
+                    (
+                        (tile_x + f % tile_w).astype(jnp.float32) + 0.5,
+                        (tile_y + f // tile_w).astype(jnp.float32) + 0.5,
+                    )
                 )
-            )
+        if composite == "scan":
+            # Hillis-Steele masks for the sublane prefix product (see
+            # eval_groups); (GROUP, band_p) so jnp.where sees a full-shape
+            # condition (loop-invariant — computed once per grid step).
+            rows_bp = lax.broadcasted_iota(jnp.int32, (GROUP, band_p), 0)
+            row0_bp = rows_bp == 0
+            scan_masks = {sh: rows_bp >= sh for sh in (1, 2, 4)}
 
         chunk0 = lax.div(start, CHUNK)
         # EMPTY tiles must yield n_chunks == 0: with start == end at a non-
@@ -242,6 +276,32 @@ def _make_kernel(
             # span-edge masking folds into opacity
             idx = off + chunk_local_idx
             op_g = jnp.where((idx >= start) & (idx < end), op_g, 0.0)
+            if qform == "monomial":
+                # Expand a(d) around the TILE ORIGIN into 6 per-splat
+                # coefficients against per-pixel monomials [X^2 XY Y^2 X Y 1]
+                # (tile-local, see band_pix), and fold log(op) into the
+                # constant term: alpha = exp(na') directly — the per-pixel
+                # opacity multiply and the op>0 test disappear.  Dead lanes
+                # (op == 0, incl. every uninitialized-garbage lane, which the
+                # span mask above zeroed) get c5 = t5 = -inf, so na' is -inf
+                # or NaN and the discard comparison below rejects them.
+                # ~17 (8,128) ops once per chunk, amortized over 128 groups.
+                u = cx_g - tile_x.astype(jnp.float32)
+                v = cy_g - tile_y.astype(jnp.float32)
+                hbv = hb_g * v
+                c3_g = (ha_g + ha_g) * u + hbv
+                c4_g = hb_g * u + (hc_g + hc_g) * v
+                a0 = (ha_g * u + hbv) * u + hc_g * (v * v)
+                logop = jnp.log(op_g)  # log(0) = -inf for dead lanes
+                c5_g = logop - a0
+                t5_g = logop - jnp.float32(2.0 * CUTOFF)
+            else:
+                # negated conic: alpha needs exp(-a); folding the sign into
+                # the per-chunk coefficients saves a per-(group, pixel)
+                # negation
+                nha_g = -ha_g
+                nhb_g = -hb_g
+                nhc_g = -hc_g
 
             # ---- per-group y-extent bounds (for band skipping) ----
             # ellipse {a(d) <= 2*CUTOFF} of the form a = ha dx^2 + hb dxdy +
@@ -275,31 +335,107 @@ def _make_kernel(
             # GROUP_BATCH groups are evaluated TOGETHER with their
             # instruction streams interleaved step-by-step; only the final
             # carry update (a few (1, band_p) ops per group) is serial.
-            def eval_groups(cols, state, pix_x, pix_y):
+            def eval_groups(cols, state, pix):
                 cr, cg, cb, trans = state
                 nb = len(cols)
                 sls = [(lambda x, pc=pc: x[:, pc : pc + 1]) for pc in cols]
-                dx = [pix_x - s(cx_g) for s in sls]
-                dy = [pix_y - s(cy_g) for s in sls]
-                a = [
-                    s(ha_g) * dx[k] * dx[k]
-                    + s(hb_g) * dx[k] * dy[k]
-                    + s(hc_g) * dy[k] * dy[k]
-                    for k, s in enumerate(sls)
-                ]
-                # mask-first (reference discard, gaussian.wgsl:59-67) with
-                # the comparison written to REJECT NaN/inf `a`: sentinel and
-                # chunk-over-read lanes may carry uninitialized payload bits
-                # whose decoded conic is non-PSD or NaN — exp(-a) can be inf,
-                # and inf*0 or min(0.99, NaN) would poison the whole tile.
-                alpha = [
-                    jnp.where(
-                        (a[k] < 2.0 * CUTOFF) & (s(op_g) > 0.0),
-                        jnp.minimum(0.99, jnp.exp(-a[k]) * s(op_g)),
-                        0.0,
-                    )
-                    for k, s in enumerate(sls)
-                ]
+                if qform == "monomial":
+                    xl, yl, mx2, mxy, my2 = pix
+                    # na' = -a + log(op): per-splat 6-coefficient dot with
+                    # the per-tile monomials (6 broadcast fmas)
+                    na = [
+                        s(ha_g) * mx2
+                        + s(hb_g) * mxy
+                        + s(hc_g) * my2
+                        + s(c3_g) * xl
+                        + s(c4_g) * yl
+                        + s(c5_g)
+                        for s in sls
+                    ]
+                    # discard: na' > log(op) - 2*CUTOFF <=> a < 2*CUTOFF.
+                    # Dead/garbage lanes have t5 = -inf and na' in {-inf,
+                    # NaN} (see the c5 fold above), so the comparison —
+                    # written to reject NaN — kills them; exp(na') <= ~1 by
+                    # construction (a >= 0 up to f32 rounding), min(0.99, .)
+                    # bounds the rest exactly like the direct form.
+                    alpha = [
+                        jnp.where(
+                            na[k] > s(t5_g),
+                            jnp.minimum(0.99, jnp.exp(na[k])),
+                            0.0,
+                        )
+                        for k, s in enumerate(sls)
+                    ]
+                else:
+                    pix_x, pix_y = pix
+                    dx = [pix_x - s(cx_g) for s in sls]
+                    dy = [pix_y - s(cy_g) for s in sls]
+                    # na = -a (negated quadratic form, coefficients
+                    # pre-negated per chunk)
+                    na = [
+                        s(nha_g) * dx[k] * dx[k]
+                        + s(nhb_g) * dx[k] * dy[k]
+                        + s(nhc_g) * dy[k] * dy[k]
+                        for k, s in enumerate(sls)
+                    ]
+                    # mask-first (reference discard, gaussian.wgsl:59-67)
+                    # with the comparison written to REJECT NaN/inf `a`:
+                    # sentinel and chunk-over-read lanes may carry
+                    # uninitialized payload bits whose decoded conic is
+                    # non-PSD or NaN — exp(-a) can be inf, and inf*0 or
+                    # min(0.99, NaN) would poison the whole tile.  The min
+                    # also bounds slightly-non-PSD f16-rounded conics whose
+                    # na grows POSITIVE with distance — do not fold it into
+                    # op_g.
+                    alpha = [
+                        jnp.where(
+                            (na[k] > -2.0 * CUTOFF) & (s(op_g) > 0.0),
+                            jnp.minimum(0.99, jnp.exp(na[k]) * s(op_g)),
+                            0.0,
+                        )
+                        for k, s in enumerate(sls)
+                    ]
+                if composite == "scan":
+                    # Exclusive prefix product of (1 - alpha) along the 8
+                    # sublanes (masked Hillis-Steele), one stream per group
+                    # instead of the tree's four:  w_k = alpha_k * T<k are
+                    # the group-local over weights; colors accumulate into
+                    # the (8, P) per-band accumulators (reduced across
+                    # sublanes ONCE per tile), so the only serial carry is
+                    # the (1, P) tile transmittance.
+                    t_l = [1.0 - alpha[k] for k in range(nb)]
+                    tp = [
+                        jnp.where(
+                            row0_bp, 1.0, pltpu.roll(t, shift=1, axis=0)
+                        )
+                        for t in t_l
+                    ]
+                    for sh in (1, 2, 4):
+                        tp = [
+                            p
+                            * jnp.where(
+                                scan_masks[sh],
+                                pltpu.roll(p, shift=sh, axis=0),
+                                1.0,
+                            )
+                            for p in tp
+                        ]
+                    w = [alpha[k] * tp[k] for k in range(nb)]
+                    # group transmittance: inclusive prefix at row 7,
+                    # extracted via roll (sublane slices only at offset 0)
+                    tot = [
+                        pltpu.roll(tp[k] * t_l[k], shift=1, axis=0)[0:1, :]
+                        for k in range(nb)
+                    ]
+                    # serial pass: weights scaled by the running tile
+                    # transmittance (the chain is one (1, P) mul per group)
+                    for k, s in enumerate(sls):
+                        tw = w[k] * trans
+                        cr = cr + tw * s(r_g)
+                        cg = cg + tw * s(g_g)
+                        cb = cb + tw * s(b_g)
+                        trans = trans * tot[k]
+                    return cr, cg, cb, trans
                 # pairwise over-composite up the 8 splat rows (log tree):
                 # after 3 levels row 0 holds the whole group's premultiplied
                 # color and transmittance
@@ -340,9 +476,10 @@ def _make_kernel(
                 for b in range(n_bands):
                     def eval_segment(st, cols=cols, b=b):
                         s_ = st
-                        px, py = band_pix[b]
                         for c0 in range(0, len(cols), group_batch):
-                            s_ = eval_groups(cols[c0 : c0 + group_batch], s_, px, py)
+                            s_ = eval_groups(
+                                cols[c0 : c0 + group_batch], s_, band_pix[b]
+                            )
                         return s_
 
                     if group_skip:
@@ -370,7 +507,11 @@ def _make_kernel(
                 t_max = jnp.maximum(t_max, transs[b])
             return jnp.logical_and(ci < n_chunks, jnp.max(t_max) > eps)
 
-        zero = jnp.zeros((1, band_p), jnp.float32)
+        # scan composite carries (GROUP, band_p) channel accumulators
+        # (reduced across sublanes once per tile, below); tree carries the
+        # already-composited (1, band_p) rows
+        acc_rows = GROUP if composite == "scan" else 1
+        zero = jnp.zeros((acc_rows, band_p), jnp.float32)
         one = jnp.ones((1, band_p), jnp.float32)
         ci_f, crs, cgs, cbs, transs = lax.while_loop(
             chunk_cond,
@@ -383,6 +524,10 @@ def _make_kernel(
                 (one,) * n_bands,
             ),
         )
+        if composite == "scan":
+            crs = tuple(jnp.sum(c, axis=0, keepdims=True) for c in crs)
+            cgs = tuple(jnp.sum(c, axis=0, keepdims=True) for c in cgs)
+            cbs = tuple(jnp.sum(c, axis=0, keepdims=True) for c in cbs)
         cr = jnp.concatenate(crs, axis=1) if n_bands > 1 else crs[0]
         cg = jnp.concatenate(cgs, axis=1) if n_bands > 1 else cgs[0]
         cb = jnp.concatenate(cbs, axis=1) if n_bands > 1 else cbs[0]
@@ -480,6 +625,8 @@ def rasterize_pallas(
         seg_k=config.seg_k,
         group_batch=config.group_batch,
         y_bands=bands,
+        composite=config.composite,
+        qform=config.qform,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
