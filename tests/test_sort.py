@@ -110,3 +110,50 @@ def test_prefix_ladder_matches_full_sort():
         np.testing.assert_array_equal(
             np.asarray(ref_p)[:n_valid], np.asarray(lad_p)[:n_valid]
         )
+
+
+def test_sort_u64_backend_matches_xla(rng):
+    """The u64-packed backend must produce the same sorted stream as the
+    5-operand backend: same keys ascending, same key->record pairing (the
+    packed low word w0 makes the u64 comparison a (key, w0) lexicographic
+    tie-break, which is A valid order of the same multiset)."""
+    m = 200_000  # above the ladder threshold to cover the rung path
+    n_valid = m - 12345
+    keys = np.concatenate([
+        rng.integers(0, 2**32 - 1, size=n_valid, dtype=np.uint32),
+        np.full(m - n_valid, 0xFFFFFFFF, np.uint32),
+    ])
+    payload = rng.integers(0, 2**32, size=(4, m), dtype=np.uint32)
+    args = (jnp.asarray(keys), [jnp.asarray(p) for p in payload])
+    sk_x, sp_x = sort_instances(*args, backend="xla", n_valid=jnp.int32(n_valid))
+    sk_u, sp_u = sort_instances(*args, backend="u64", n_valid=jnp.int32(n_valid))
+    np.testing.assert_array_equal(np.asarray(sk_x), np.asarray(sk_u))
+    # rows stay paired: the (key, w0, w1, w2, w3) row multisets must match
+    rows_x = np.stack([np.asarray(sk_x)] + [np.asarray(w) for w in sp_x], 1)
+    rows_u = np.stack([np.asarray(sk_u)] + [np.asarray(w) for w in sp_u], 1)
+    order = lambda r: np.lexsort(r.T[::-1])
+    np.testing.assert_array_equal(rows_x[order(rows_x)], rows_u[order(rows_u)])
+
+
+def test_sort_u64_backend_end_to_end(rng):
+    """Full frame through config.sort_backend='u64' equals the xla-sort
+    frame (sort order ties broken differently -> tiny blend reassociation
+    tolerance)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from synth import make_camera, make_cloud
+
+    from websplat_tpu.config import RasterConfig, SplattingArgs
+    from websplat_tpu.render.renderer import GaussianRenderer
+
+    cloud = make_cloud(rng, n=300)
+    cam = make_camera(viewport=(64, 32))
+    args = SplattingArgs(background_color=(0.1, 0.2, 0.3))
+    img_x = GaussianRenderer(
+        cloud, RasterConfig.for_backend(sort_backend="xla")
+    ).render(cam, (64, 32), args)
+    img_u = GaussianRenderer(
+        cloud, RasterConfig.for_backend(sort_backend="u64")
+    ).render(cam, (64, 32), args)
+    assert np.isfinite(img_u).all()
+    assert np.abs(img_x - img_u).max() < 5e-3

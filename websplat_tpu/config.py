@@ -130,11 +130,11 @@ class RasterConfig:
     compact: bool = True
     instance_capacity_factor: float = 2.0
 
-    # Sort backend.  "xla" (lax.sort) is the only implementation: measured
-    # alternatives lost (scatter-based radix is ~50 ms/M on TPU; batched
-    # row sorts are 4x faster per element but need a linear-time partition
-    # TPU lacks).  The knob remains for future backends; unknown values
-    # raise in ops/sort.py.
+    # Sort backend: "xla" (lax.sort, 5 u32 operands) or "u64" (same sort
+    # with (key<<32|w0, w1<<32|w2, w3) packed operands — 3 instead of 5;
+    # see ops/sort.py).  Other measured alternatives lost outright:
+    # scatter-based radix is ~50 ms/M on TPU; batched row sorts are 4x
+    # faster per element but need a linear-time partition TPU lacks.
     sort_backend: str = "xla"
 
     # Rasterizer backend: "pallas" or "xla" (reference/debug fallback).

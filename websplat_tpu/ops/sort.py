@@ -42,18 +42,49 @@ def sort_instances(
     of the static worst-case capacity (the reference's radix sort reads its
     count from the GPU dispatch indirect buffer for the same reason,
     gpu_rs.rs:339-366).  The untouched tail is all-sentinel, so the result
-    is globally sorted either way."""
+    is globally sorted either way.
+
+    Backend "u64" (4-word payloads only) sorts (key<<32|w0, w1<<32|w2, w3)
+    — 3 operands instead of 5: per-operand overhead dominates payload cost
+    on TPU (u64 lanes are emulated u32 pairs, so bytes moved are identical);
+    sentinel ordering is preserved because the high word of a packed
+    sentinel key is still 0xFFFFFFFF > every valid key.  u64 dtypes are
+    scoped to this function via ``jax.enable_x64`` (trace-time only — the
+    canonicalization flag gates array CREATION, so the surrounding frame
+    stays 32-bit)."""
+    if backend == "u64":
+        if len(payload) != 4:
+            raise ValueError("u64 sort backend requires a 4-word payload")
+        import jax
+
+        with jax.enable_x64(True):
+            w0, w1, w2, w3 = payload
+            k64 = (
+                keys.astype(jnp.uint64) << np.uint64(32)
+            ) | w0.astype(jnp.uint64)
+            p64 = (
+                w1.astype(jnp.uint64) << np.uint64(32)
+            ) | w2.astype(jnp.uint64)
+            out = _ladder_sort((k64, p64, w3), n_valid)
+            hi = lambda x: (x >> np.uint64(32)).astype(jnp.uint32)
+            lo = lambda x: x.astype(jnp.uint32)
+            return hi(out[0]), (lo(out[0]), hi(out[1]), lo(out[1]), out[2])
     if backend != "xla":
         raise ValueError(f"unknown sort backend: {backend!r}")
-    ops = (keys,) + tuple(payload)
-    m = int(keys.shape[0])
-    # UNstable: equal keys are distinct splats in the same tile at the same
-    # quantized depth, whose relative order the reference leaves to GPU
-    # scheduling anyway (atomic submission order, preprocess.wgsl:262).
-    # Measured ~8% cheaper than a stable sort at bonsai scale.
+    out = _ladder_sort((keys,) + tuple(payload), n_valid)
+    return out[0], tuple(out[1:])
+
+
+def _ladder_sort(ops, n_valid):
+    """lax.sort on a runtime-selected power-ladder prefix (see caller).
+
+    UNstable: equal keys are distinct splats in the same tile at the same
+    quantized depth, whose relative order the reference leaves to GPU
+    scheduling anyway (atomic submission order, preprocess.wgsl:262).
+    Measured ~8% cheaper than a stable sort at bonsai scale."""
+    m = int(ops[0].shape[0])
     if n_valid is None or m < (1 << 17):
-        out = lax.sort(ops, num_keys=1, is_stable=False)
-        return out[0], tuple(out[1:])
+        return lax.sort(ops, num_keys=1, is_stable=False)
     rungs = sorted({max(1, (m * k) // 8) for k in range(1, 8)} | {m})
 
     def branch(length):
@@ -71,8 +102,7 @@ def sort_instances(
 
     thresholds = jnp.asarray(rungs[:-1], jnp.int32)
     idx = jnp.sum(jnp.asarray(n_valid, jnp.int32) > thresholds)
-    out = lax.switch(idx, [branch(length) for length in rungs], ops)
-    return out[0], tuple(out[1:])
+    return lax.switch(idx, [branch(length) for length in rungs], ops)
 
 
 def tile_ranges(sorted_keys: jnp.ndarray, num_tiles: int, depth_bits: int) -> jnp.ndarray:
