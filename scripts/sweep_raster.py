@@ -95,7 +95,9 @@ def main():
     base_img = None
     print(f"backend={jax.default_backend()} n={n} {width}x{height}")
     for tw, th in shapes:
-        cfg = RasterConfig(tile_w=tw, tile_h=th)
+        # generous capacity: small tiles emit ~2x the instances and a
+        # capacity overflow would silently shrink the timed work
+        cfg = RasterConfig(tile_w=tw, tile_h=th, instance_capacity_factor=3.0)
         sp, ranges = jax.jit(
             frontend_sorted, static_argnames=("width", "height", "config")
         )(dc, dcam, dset, width=width, height=height, config=cfg)
