@@ -44,10 +44,43 @@ def main():
     )
 
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
-    from synth import make_bench_cloud, make_camera
+    from synth import make_bench_cloud, make_camera, make_cloud
+
+    # --sigma-sweep: bound the FPS number's sensitivity to the assumed
+    # splat-size distribution (the one synthetic-workload free parameter):
+    # rerun the identical measurement at ln-scale sigma {0.8, 1.1, 1.4}
+    # (default 1.1) and print one JSON line each.  The LAST line is the
+    # default-sigma result, so driver parsing is unaffected.
+    sweep = "--sigma-sweep" in sys.argv
+    sigmas = [0.8, 1.4, 1.1] if sweep else [1.1]
 
     rng = np.random.default_rng(0)
-    cloud = make_bench_cloud(rng, n=N_SPLATS)
+    for sigma in sigmas:
+        cloud = (
+            make_bench_cloud(rng, n=N_SPLATS)
+            if sigma == 1.1
+            else make_cloud(
+                np.random.default_rng(0), n=N_SPLATS, extent=2.0,
+                scale_lognormal=(-6.48, sigma),
+            )
+        )
+        run_one(cloud, sigma, sweep)
+
+
+def run_one(cloud, sigma, sweep):
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from websplat_tpu.config import RasterConfig, SplattingArgs, resolve_settings
+    from websplat_tpu.models.camera import CameraUniforms
+    from websplat_tpu.parallel.multiview import render_views, stack_cameras
+    from websplat_tpu.render.renderer import settings_to_device, upload_cloud
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from synth import make_camera
+
     cams = [
         make_camera(viewport=(WIDTH, HEIGHT), azimuth=2 * np.pi * i / N_VIEWS, distance=3.0)
         for i in range(N_VIEWS)
@@ -123,7 +156,9 @@ def main():
             "tile_slots": config.tile_slots,
         },
     }
-    print(json.dumps(result))
+    if sweep:
+        result["detail"]["scale_lognormal_sigma"] = sigma
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":
