@@ -487,8 +487,17 @@ def _make_kernel(
                         band_hi = band_lo + (band_rows - 1)
                         reach = m & (gmin <= band_hi) & (gmax >= band_lo)
                         live = jnp.max(jnp.where(reach, op_g, 0.0))
+                        go = live > 0.0
+                        if eps > 0.0:
+                            # segment-level saturation exit: the chunk loop
+                            # only re-checks transmittance at chunk (1024-
+                            # splat) boundaries; heavy-overdraw tiles
+                            # saturate mid-chunk and every later segment's
+                            # blend would be discarded at eps anyway (same
+                            # up-to-eps argument as the chunk early-out)
+                            go = go & (jnp.max(band_states[b][3]) > eps)
                         band_states[b] = lax.cond(
-                            live > 0.0, eval_segment, lambda st: st, band_states[b]
+                            go, eval_segment, lambda st: st, band_states[b]
                         )
                     else:
                         band_states[b] = eval_segment(band_states[b])
