@@ -206,17 +206,20 @@ def render_frame_impl(
                 width=width, height=height, config=config,
                 compressed=compressed,
             )
+            o_count = None
             if okeys.shape[0] > 65536 and pallas_ok:
                 # the overflow candidate stream is mostly holes (capacity x
                 # (overflow_slots - tile_slots) slots for ~capacity x ~6 real
                 # tiles); compact it before splicing so the sort pays for
                 # ~actual overflow instances, not the static worst case
+                from websplat_tpu.ops.compact_pallas import BLOCK as _CBLOCK
                 from websplat_tpu.ops.compact_pallas import (
                     compact_instances as _ci,
                 )
 
                 ocap = min(clamped_ids.shape[0] * 16, okeys.shape[0])
-                okeys, owords, _, o_dropped = _ci(
+                o_src_blocks = -(-okeys.shape[0] // _CBLOCK)
+                okeys, owords, o_count, o_dropped = _ci(
                     okeys, owords, capacity=ocap
                 )
                 num_dropped = num_dropped + o_dropped
@@ -237,7 +240,18 @@ def render_frame_impl(
                 )
                 for w, ow in zip(payload, owords)
             )
-            n_valid = n_valid + b
+            # advance the sort-ladder prefix by the ACTUAL compacted count
+            # when known, so the ladder skips ~capacity-count dead rows.
+            # The compactor is NOT an exact prefix (up to 127 sentinels
+            # interleave per source block, compact_pallas.py docstring), so
+            # pad by that bound — a real instance beyond the ladder prefix
+            # would land in the "untouched all-sentinel tail" unsorted.
+            # The uncompacted branch's holey block counts whole (sentinels
+            # INSIDE the prefix sort to the rung's end — still valid).
+            if o_count is not None:
+                n_valid = n_valid + jnp.minimum(o_count + 127 * o_src_blocks, b)
+            else:
+                n_valid = n_valid + b
             num_clamped = num_clamped_resid
         pre = None
     else:
