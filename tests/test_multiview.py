@@ -21,7 +21,13 @@ from websplat_tpu.render.renderer import (
 from tests.synth import make_camera, make_cloud
 
 W, H = 64, 64
-CFG = RasterConfig(raster_backend="xla", tile_slots=16, xla_max_per_tile=512)
+# compact=False keeps these programs pure XLA: interpret-mode Pallas embeds
+# callbacks that make the module ineligible for the persistent compilation
+# cache, and these tests cover PARALLEL correctness, not compaction (which
+# test_compact / test_emit_compact own).
+CFG = RasterConfig(
+    raster_backend="xla", tile_slots=16, xla_max_per_tile=512, compact=False
+)
 
 
 def _setup(rng, n_views):

@@ -22,8 +22,12 @@ from websplat_tpu.utils.image import psnr
 from tests.synth import make_camera, make_cloud
 
 W, H = 96, 64  # 6x8 tiles of 16x8 -> 8 tile rows over 8 devices
+# compact=False: pure-XLA programs hit the persistent compilation cache
+# (interpret-Pallas callbacks are uncacheable); compaction coverage lives in
+# test_compact / test_emit_compact.
 CFG = RasterConfig(
-    raster_backend="xla", tile_w=16, tile_h=8, tile_slots=8, xla_max_per_tile=512
+    raster_backend="xla", tile_w=16, tile_h=8, tile_slots=8,
+    xla_max_per_tile=512, compact=False
 )
 
 
