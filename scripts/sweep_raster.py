@@ -71,9 +71,10 @@ def frontend_sorted(cloud, cam, dset, width, height, config):
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_244_819
-    width = int(sys.argv[2]) if len(sys.argv) > 2 else 1200
-    height = int(sys.argv[3]) if len(sys.argv) > 3 else 799
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(pos[0]) if len(pos) > 0 else 1_244_819
+    width = int(pos[1]) if len(pos) > 1 else 1200
+    height = int(pos[2]) if len(pos) > 2 else 799
 
     rng = np.random.default_rng(0)
     cloud = make_bench_cloud(rng, n=n)
@@ -89,9 +90,16 @@ def main():
 
     from websplat_tpu.ops.rasterize_pallas import rasterize_pallas
 
-    shapes = [(32, 16), (16, 16), (32, 8), (16, 8), (64, 8), (32, 32)]
-    variants = [("tree", "direct"), ("scan", "direct"),
-                ("tree", "monomial"), ("scan", "monomial")]
+    if "--tune" in sys.argv:
+        # second pass: seg_k x group_batch at the shape/variant winners
+        shapes = [(32, 16), (16, 8)]
+        variants = [("scan", "monomial")]
+        tune = [(sk, gb) for sk in (1, 2, 4) for gb in (2, 4, 8)]
+    else:
+        shapes = [(32, 16), (16, 16), (32, 8), (16, 8), (64, 8), (32, 32)]
+        variants = [("tree", "direct"), ("scan", "direct"),
+                    ("tree", "monomial"), ("scan", "monomial")]
+        tune = [(None, None)]
     base_img = None
     print(f"backend={jax.default_backend()} n={n} {width}x{height}")
     for tw, th in shapes:
@@ -104,8 +112,15 @@ def main():
         sp = jax.block_until_ready(sp)
         n_inst = int(ranges[-1])
         zero = jnp.uint32(0)  # runtime-zero the tracer cannot fold
-        for composite, qform in variants:
-            c = dataclasses.replace(cfg, composite=composite, qform=qform)
+        for (composite, qform), (sk, gb) in [
+            (v, t) for v in variants for t in tune
+        ]:
+            over = dict(composite=composite, qform=qform)
+            label = f"{composite}/{qform}"
+            if sk is not None:
+                over.update(seg_k=sk, group_batch=gb)
+                label += f" seg={sk} gb={gb}"
+            c = dataclasses.replace(cfg, **over)
 
             def stage(sp, ranges, bg, zero, salt=0, c=c):
                 # XOR a payload word with salt*zero: the kernel input then
@@ -122,7 +137,7 @@ def main():
             try:
                 ms = timed(stage, sp, ranges, bg, zero)
             except Exception as e:  # Mosaic lowering failures show up here
-                print(f"{tw}x{th} {composite}/{qform}: FAIL {type(e).__name__}: {str(e)[:120]}")
+                print(f"{tw}x{th} {label}: FAIL {type(e).__name__}: {str(e)[:120]}")
                 continue
             img = None
             note = ""
@@ -134,7 +149,7 @@ def main():
                     base_img = img
                 else:
                     note = f"  maxdiff={np.abs(img - base_img).max():.2e}"
-            print(f"{tw}x{th} {composite}/{qform}: {ms:7.2f} ms  n_inst={n_inst}{note}",
+            print(f"{tw}x{th} {label}: {ms:7.2f} ms  n_inst={n_inst}{note}",
                   flush=True)
 
 
