@@ -300,3 +300,20 @@ def test_viewer_gallery_and_scene_switch(dataset, tmp_path):
 
     state.stop = True
     server.shutdown()
+
+
+def test_for_viewport_keeps_fused_grid():
+    """for_viewport must pick a tile shape whose grid fits the fused
+    frontend's 7-bit tile coordinates (<=127 per axis) — at the measure
+    binary's 2048x2048 the default 32x16 grid is 128 rows and would
+    silently fall back to the slot-stream path."""
+    from websplat_tpu.config import RasterConfig
+
+    for w, h in ((2048, 2048), (3840, 2160), (1200, 799), (640, 480)):
+        cfg = RasterConfig.for_viewport(w, h)
+        tx, ty = cfg.tiles_for(w, h)
+        assert tx <= 127 and ty <= 127, (w, h, tx, ty)
+        assert (cfg.tile_w * cfg.tile_h) % 128 == 0
+    # explicit tile overrides are respected untouched
+    cfg = RasterConfig.for_viewport(2048, 2048, tile_h=16)
+    assert cfg.tile_h == 16

@@ -52,7 +52,7 @@ def main(argv=None):
         cam.fit_near_far(*cloud.aabb)
         unis.append(CameraUniforms.from_camera(cam, (w, h)))
 
-    config = RasterConfig.for_backend()
+    config = RasterConfig.for_viewport(w, h)
     settings = resolve_settings(SplattingArgs(walltime=100.0), cloud)
     dc = upload_cloud(cloud)
     dcams = stack_cameras(unis)

@@ -566,7 +566,8 @@ def main(argv=None):
     else:
         cloud, scene, n_pts = None, None, 0
     state = ViewerState(
-        cloud, scene, args_ns.width, args_ns.height, RasterConfig.for_backend(),
+        cloud, scene, args_ns.width, args_ns.height,
+        RasterConfig.for_viewport(args_ns.width, args_ns.height),
         input_path=args_ns.input, cameras_save_path=args_ns.save_cameras,
         scenes_dir=args_ns.scenes_dir,
     )

@@ -157,6 +157,28 @@ class RasterConfig:
             overrides.setdefault("xla_max_per_tile", 512)
         return cls(**overrides)
 
+    @classmethod
+    def for_viewport(cls, width: int, height: int, **overrides) -> "RasterConfig":
+        """for_backend + a tile shape whose grid fits the fused frontend.
+
+        The fused frontend packs tile coordinates in 7 bits per axis
+        (<=127 tiles); at e.g. the measure binary's 2048x2048 the default
+        32x16 grid is 128 rows and the frame silently falls back to the
+        slower slot-stream path.  Doubling the tile edge (up to 64 px)
+        keeps the fused path for viewports up to 8128 px per axis.
+        Explicit tile_w/tile_h overrides are respected untouched."""
+        cfg = cls.for_backend(**overrides)
+        if "tile_w" in overrides or "tile_h" in overrides:
+            return cfg
+        tw, th = cfg.tile_w, cfg.tile_h
+        while -(-height // th) > 127 and th < 64:
+            th *= 2
+        while -(-width // tw) > 127 and tw < 64:
+            tw *= 2
+        if (tw, th) != (cfg.tile_w, cfg.tile_h):
+            cfg = dataclasses.replace(cfg, tile_w=tw, tile_h=th)
+        return cfg
+
     def tiles_for(self, width: int, height: int) -> Tuple[int, int]:
         return (-(-width // self.tile_w), -(-height // self.tile_h))
 
