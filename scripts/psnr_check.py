@@ -38,17 +38,24 @@ def main():
     settings = resolve_settings(args, cloud)
     uni = CameraUniforms.from_camera(cam, (width, height))
 
-    renderer = GaussianRenderer(cloud, RasterConfig())
-    img = renderer.render(cam, (width, height), args, fit_near_far=False,
-                          with_diag=True)
     ref = render_oracle(cloud, uni, settings, width, height)
-    d = renderer._last_diag
-    print(
-        f"n={n} {width}x{height} visible={int(d['num_visible'])} "
-        f"instances={int(d['num_instances'])} dropped={int(d['num_dropped'])}"
-    )
-    print(f"PSNR vs oracle: {psnr(img, ref):.2f} dB "
-          f"(budget: f16 record + RGB9E5 + depth quantization + tie order)")
+    variants = [
+        ("defaults", RasterConfig()),
+        ("scan/monomial", RasterConfig(composite="scan", qform="monomial")),
+    ]
+    if variants[0][1] == variants[1][1]:  # defaults already scan/monomial
+        variants = variants[:1]
+    for name, cfg in variants:
+        renderer = GaussianRenderer(cloud, cfg)
+        img = renderer.render(cam, (width, height), args, fit_near_far=False,
+                              with_diag=True)
+        d = renderer._last_diag
+        print(
+            f"[{name}] n={n} {width}x{height} visible={int(d['num_visible'])} "
+            f"instances={int(d['num_instances'])} dropped={int(d['num_dropped'])}"
+        )
+        print(f"[{name}] PSNR vs oracle: {psnr(img, ref):.2f} dB "
+              f"(budget: f16 record + RGB9E5 + depth quantization + tie order)")
 
 
 if __name__ == "__main__":
