@@ -69,7 +69,24 @@ def main():
     cam.fit_near_far(*cloud.aabb)
     uni = CameraUniforms.from_camera(cam, (width, height))
     settings = resolve_settings(SplattingArgs(), cloud)
-    config = RasterConfig()
+    # env overrides for quick post-measurement tuning sweeps:
+    #   WS_COMPOSITE=scan WS_QFORM=monomial WS_TILE=16x8 WS_SORT=u64 \
+    #   WS_SLOTS=8 python scripts/profile_stages.py
+    import os
+
+    overrides = {}
+    if os.environ.get("WS_COMPOSITE"):
+        overrides["composite"] = os.environ["WS_COMPOSITE"]
+    if os.environ.get("WS_QFORM"):
+        overrides["qform"] = os.environ["WS_QFORM"]
+    if os.environ.get("WS_SORT"):
+        overrides["sort_backend"] = os.environ["WS_SORT"]
+    if os.environ.get("WS_SLOTS"):
+        overrides["tile_slots"] = int(os.environ["WS_SLOTS"])
+    if os.environ.get("WS_TILE"):
+        tw, th = os.environ["WS_TILE"].split("x")
+        overrides["tile_w"], overrides["tile_h"] = int(tw), int(th)
+    config = RasterConfig(**overrides)
 
     dc = upload_cloud(cloud)
     dcam = camera_to_device(uni)
@@ -85,7 +102,7 @@ def main():
     def stage_pre(dc, dcam, dset, salt=0):
         # with the fused frontend, "preprocess" and "emit+compact" are one
         # kernel; this stage times the whole frontend
-        k, p = _compacted(dc, dcam, dset, salt)
+        k, p, _ = _compacted(dc, dcam, dset, salt)
         return _live(k, p)
 
     def _compacted(dc, dcam, dset, salt):
@@ -95,14 +112,15 @@ def main():
             cap = max(
                 4096, int(config.instance_capacity_factor * dc.opacity.shape[0])
             )
-            k, p, _, _, _, _ = fused_frontend(
+            k, p, _, _, num_valid, _ = fused_frontend(
                 dc, salted(dcam, salt), dset, width=width, height=height,
                 config=config, capacity=cap,
             )
-            return k, p
+            # n_valid enables the production sort ladder in stage timings
+            return k, p, jnp.minimum(num_valid, cap)
         pre = preprocess(dc, salted(dcam, salt), dset, width=width, height=height,
                          config=config)
-        return pre.keys, pre.payload
+        return pre.keys, pre.payload, None
 
     def _live(k, p):
         # keep EVERY operand live: XLA dead-code-eliminates unused sort
@@ -114,17 +132,17 @@ def main():
         )
 
     def stage_compact(dc, dcam, dset, salt=0):
-        k, p = _compacted(dc, dcam, dset, salt)
+        k, p, _ = _compacted(dc, dcam, dset, salt)
         return _live(k, p)
 
     def stage_sort(dc, dcam, dset, salt=0):
-        k, p = _compacted(dc, dcam, dset, salt)
-        sk, sp = sort_instances(k, p, backend=config.sort_backend)
+        k, p, nv = _compacted(dc, dcam, dset, salt)
+        sk, sp = sort_instances(k, p, backend=config.sort_backend, n_valid=nv)
         return _live(sk, sp)
 
     def stage_ranges(dc, dcam, dset, salt=0):
-        k, p = _compacted(dc, dcam, dset, salt)
-        sk, sp = sort_instances(k, p, backend=config.sort_backend)
+        k, p, nv = _compacted(dc, dcam, dset, salt)
+        sk, sp = sort_instances(k, p, backend=config.sort_backend, n_valid=nv)
         r = tile_ranges(sk, tx * ty, depth_bits)
         return _live(sk, sp) + r.astype(jnp.float32).sum()
 
