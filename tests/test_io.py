@@ -69,10 +69,27 @@ def test_ply_big_endian(rng):
     np.testing.assert_allclose(be.cov, le.cov)
 
 
-def test_ascii_ply_rejected():
-    blob = b"ply\nformat ascii 1.0\nelement vertex 0\nproperty float x\nend_header\n"
-    with pytest.raises(NotImplementedError):
-        load_gaussian_cloud(blob)
+def test_ascii_ply_matches_binary(rng):
+    """ASCII PLY loads bit-equal to the binary layout (a superset of the
+    reference, which todo!()s ASCII at io/ply.rs:169): convert a binary blob
+    to whitespace rows in header property order and compare clouds."""
+    xyz, sh, opacity_raw, scale_raw, rot = make_raw(rng, n=23)
+    blob = dumps_ply(xyz, sh, opacity_raw, scale_raw, rot)
+    header_end = blob.index(b"end_header\n") + len(b"end_header\n")
+    header = blob[:header_end].decode()
+    n_props = header.count("property float")
+    body = np.frombuffer(blob[header_end:], dtype="<f4").reshape(-1, n_props)
+    ascii_blob = (
+        header.replace("binary_little_endian", "ascii").encode()
+        + "\n".join(" ".join(f"{v:.9g}" for v in row) for row in body).encode()
+        + b"\n"
+    )
+    bi = load_gaussian_cloud(blob)
+    asc = load_gaussian_cloud(ascii_blob)
+    np.testing.assert_allclose(asc.xyz, bi.xyz, rtol=1e-6)
+    np.testing.assert_allclose(asc.cov, bi.cov, rtol=1e-3, atol=1e-6)
+    np.testing.assert_allclose(asc.opacity, bi.opacity, rtol=1e-3)
+    np.testing.assert_allclose(asc.sh, bi.sh, rtol=1e-3, atol=1e-6)
 
 
 def test_unknown_format_rejected():

@@ -131,25 +131,38 @@ def _comment_value(comments: List[str], key: str) -> Optional[str]:
 
 def read_ply(f: BinaryIO) -> Dict:
     header = parse_header(f)
-    if header.encoding == "ascii":
-        # Reference: todo!("ascii ply format not supported")
-        # (/root/reference/src/io/ply.rs:169)
-        raise NotImplementedError("ascii ply format not supported")
-    byte_order = "<" if header.encoding == "binary_little_endian" else ">"
-
     num_points, props = header.vertex
-    dtype = np.dtype([(name, byte_order + _PLY_TYPES[t]) for name, t in props])
-    raw = f.read(dtype.itemsize * num_points)
-    if len(raw) < dtype.itemsize * num_points:
-        raise ValueError("ply file truncated")
-    data = np.frombuffer(raw, dtype=dtype, count=num_points)
+    if header.encoding == "ascii":
+        # The reference todo!()s ASCII (/root/reference/src/io/ply.rs:169);
+        # supported here as a superset: whitespace-separated rows in header
+        # property order, then the exact same math as the binary path.
+        body = np.loadtxt(f, dtype=np.float32, max_rows=num_points, ndmin=2)
+        if body.shape != (num_points, len(props)):
+            raise ValueError(
+                f"ascii ply body shape {body.shape} != "
+                f"({num_points}, {len(props)})"
+            )
+        data = {name: body[:, i] for i, (name, _) in enumerate(props)}
+        raw = None
+        byte_order = "<"
+    else:
+        byte_order = "<" if header.encoding == "binary_little_endian" else ">"
+        dtype = np.dtype([(name, byte_order + _PLY_TYPES[t]) for name, t in props])
+        raw = f.read(dtype.itemsize * num_points)
+        if len(raw) < dtype.itemsize * num_points:
+            raise ValueError("ply file truncated")
+        data = np.frombuffer(raw, dtype=dtype, count=num_points)
 
     num_sh_coefs = sum(1 for name, _ in props if name.startswith("f_")) // 3
     sh_deg = sh_deg_from_num_coefs(num_sh_coefs)
     if sh_deg is None:
         raise ValueError(f"invalid number of sh coefficients: {num_sh_coefs * 3}")
 
-    native = _try_native_decode(raw, props, num_points, num_sh_coefs, byte_order)
+    native = (
+        _try_native_decode(raw, props, num_points, num_sh_coefs, byte_order)
+        if raw is not None
+        else None
+    )
     if native is not None:
         xyz, opacity16, cov16, sh16 = native
         mip = _comment_value(header.comments, "mip")
