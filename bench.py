@@ -33,6 +33,10 @@ BASELINE_FPS = 130.0  # reference on AMD R9 380 (README.md:55 / BASELINE.md)
 
 def main():
     import jax
+
+    from websplat_tpu.utils import compile_cache
+
+    compile_cache.enable()
     import jax.numpy as jnp
 
     from websplat_tpu.config import RasterConfig, SplattingArgs, resolve_settings

@@ -14,6 +14,10 @@ sys.path.insert(0, ".")
 sys.path.insert(0, "tests")
 
 import jax
+
+from websplat_tpu.utils import compile_cache
+
+compile_cache.enable()
 import jax.numpy as jnp
 import numpy as np
 

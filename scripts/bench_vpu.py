@@ -17,6 +17,10 @@ import time
 sys.path.insert(0, ".")
 
 import jax
+
+from websplat_tpu.utils import compile_cache
+
+compile_cache.enable()
 import jax.numpy as jnp
 import numpy as np
 from jax import lax

@@ -17,6 +17,10 @@ sys.path.insert(0, "tests")
 
 import numpy as np
 
+from websplat_tpu.utils import compile_cache
+
+compile_cache.enable()
+
 from websplat_tpu.config import RasterConfig, SplattingArgs, resolve_settings
 from websplat_tpu.models.camera import CameraUniforms
 from websplat_tpu.ops.oracle import render_oracle

@@ -18,6 +18,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 import numpy as np
 
 import jax
+
+from websplat_tpu.utils import compile_cache
+
+compile_cache.enable()
 import jax.numpy as jnp
 
 from websplat_tpu.config import RasterConfig, SplattingArgs, resolve_settings

@@ -17,6 +17,10 @@ sys.path.insert(0, ".")
 sys.path.insert(0, "tests")
 
 import jax
+
+from websplat_tpu.utils import compile_cache
+
+compile_cache.enable()
 import jax.numpy as jnp
 import numpy as np
 
@@ -92,9 +96,16 @@ def main():
 
     if "--tune" in sys.argv:
         # second pass: seg_k x group_batch at the shape/variant winners
-        shapes = [(32, 16), (16, 8)]
+        shapes = [(32, 32), (64, 16)]
         variants = [("scan", "monomial")]
         tune = [(sk, gb) for sk in (1, 2, 4) for gb in (2, 4, 8)]
+    elif "--big" in sys.argv:
+        # third pass: the first sweep's trend favored LARGER tiles for
+        # scan/monomial (fewer instances beat more per-splat pixel work) —
+        # chase it past 1024 px/tile
+        shapes = [(64, 16), (16, 32), (64, 32), (32, 64), (128, 16)]
+        variants = [("scan", "monomial")]
+        tune = [(None, None)]
     else:
         shapes = [(32, 16), (16, 16), (32, 8), (16, 8), (64, 8), (32, 32)]
         variants = [("tree", "direct"), ("scan", "direct"),
