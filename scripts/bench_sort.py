@@ -63,15 +63,25 @@ def main():
         return live(out)
 
     def sort_u64(k, w0, w1, w2, w3, salt):
-        kw = (k ^ salt).astype(jnp.uint64) << 32 | w0.astype(jnp.uint64)
-        p0 = w1.astype(jnp.uint64) << 32 | w2.astype(jnp.uint64)
-        out = lax.sort((kw, p0, w3), num_keys=1, is_stable=False)
+        # enable_x64 is trace-scoped (gates array creation): without it the
+        # astype silently truncates to u32 and this measures a 3xu32 sort
+        with jax.enable_x64(True):
+            kw = (k ^ salt).astype(jnp.uint64) << 32 | w0.astype(jnp.uint64)
+            p0 = w1.astype(jnp.uint64) << 32 | w2.astype(jnp.uint64)
+            out = lax.sort((kw, p0, w3), num_keys=1, is_stable=False)
+        return live(out)
+
+    def sort3u32(k, w0, w1, salt):
+        # the hypothetical 3-operand u32 sort (what sort_u64 accidentally
+        # measured before the enable_x64 fix) kept for comparison
+        out = lax.sort((k ^ salt, w0, w1), num_keys=1, is_stable=False)
         return live(out)
 
     print(f"m={m}")
     print(f"5xu32 stable   : {timed(sort5, keys, *words):7.2f} ms")
     print(f"5xu32 unstable : {timed(sort5u, keys, *words):7.2f} ms")
     print(f"2xu32 unstable : {timed(sort2, keys, words[0]):7.2f} ms")
+    print(f"3xu32 unstable : {timed(sort3u32, keys, words[0], words[1]):7.2f} ms")
     print(f"u64-packed (3) : {timed(sort_u64, keys, *words):7.2f} ms")
 
 

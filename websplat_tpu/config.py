@@ -30,12 +30,14 @@ class RasterConfig:
     """
 
     # Screen tile dimensions in pixels.  tile_w * tile_h must be a multiple
-    # of 128 (the VPU lane count).  32x16 measured fastest at bonsai scale
-    # (41.6 vs 46.4 ms/frame at 16x16, 42.8 at 32x32): smaller tiles amplify
-    # the 1024-instance chunk over-read at span edges and raise the instance
-    # count, larger ones waste per-splat pixel work.
+    # of 128 (the VPU lane count).  32x32 measured fastest for the scan/
+    # monomial kernel at bonsai scale (raster 9.11 ms and the LOWEST
+    # instance count 1.79M vs: 9.50/2.15M at 16x32, 9.97/2.15M at 32x16,
+    # 11.8/1.92M at 64x16, 14.4/1.55M at 64x32 — past 1024 px/tile the
+    # per-splat pixel work dominates, below it the instance count and its
+    # sort cost do).
     tile_w: int = 32
-    tile_h: int = 16
+    tile_h: int = 32
 
     # Maximum number of tile instances each splat may emit during binning
     # (the sort size is N * tile_slots).  Splats whose screen-space extent
@@ -116,11 +118,11 @@ class RasterConfig:
     #   the f32 cancellation error; see rasterize_pallas.py), with log(op)
     #   folded into the constant term so the alpha multiply and the op>0
     #   test disappear.
-    # Defaults stay on the measured-good tree/direct pair until the scan/
-    # monomial pair is validated on real Mosaic hardware (interpret mode
-    # exercises semantics, not the TPU lowering).
-    composite: str = "tree"
-    qform: str = "direct"
+    # Defaults: scan/monomial, TPU-measured 2026-08-18 — 9.11 vs 12.70 ms
+    # (tree/direct) at 32x32 bonsai scale; the win holds at every tile
+    # shape swept (scripts/sweep_raster.py).
+    composite: str = "scan"
+    qform: str = "monomial"
 
     # Compact invalid instances out before the sort (Pallas kernel): the sort
     # then runs over ~the true instance count instead of N * tile_slots,
@@ -130,11 +132,15 @@ class RasterConfig:
     compact: bool = True
     instance_capacity_factor: float = 2.0
 
-    # Sort backend: "xla" (lax.sort, 5 u32 operands) or "u64" (same sort
-    # with (key<<32|w0, w1<<32|w2, w3) packed operands — 3 instead of 5;
-    # see ops/sort.py).  Other measured alternatives lost outright:
-    # scatter-based radix is ~50 ms/M on TPU; batched row sorts are 4x
-    # faster per element but need a linear-time partition TPU lacks.
+    # Sort backend: "xla" (lax.sort, 5 u32 operands) or "u64" ((key<<32|w0,
+    # w1<<32|w2, w3) packed — 3 operands; see ops/sort.py).  TPU-measured
+    # 2026-08-18 at M=1.79M: 5xu32 unstable 4.46 ms, u64-packed 4.82 ms —
+    # the emulated 64-bit key compare costs more than the two operands it
+    # saves, so "xla" stays the default (a TRUE 3xu32 sort would be 2.86 ms,
+    # but the 128-bit record cannot shrink to 2 words losslessly).  Other
+    # measured alternatives lost outright: scatter-based radix is ~50 ms/M
+    # on TPU; batched row sorts are 4x faster per element but need a
+    # linear-time partition TPU lacks.
     sort_backend: str = "xla"
 
     # Rasterizer backend: "pallas" or "xla" (reference/debug fallback).
