@@ -116,9 +116,14 @@ def test_fused_render_matches():
 
 def test_fused_capacity_drop_counted():
     """Overflow beyond capacity is dropped and reported, like the standalone
-    compactor (instances survive up to `capacity`)."""
+    compactor (instances survive up to `capacity`).
+
+    The tile shape is pinned (not the RasterConfig default): the scene/
+    capacity pair is chosen so the instance count overflows `cap`, and that
+    count scales with tiles-per-splat — a default tile-shape flip must not
+    silently defuse the overflow this test exists to exercise."""
     dc, dcam, dset, _ = _setup(1003)
-    cfg = RasterConfig()
+    cfg = RasterConfig(tile_w=32, tile_h=16)
     tx, ty = cfg.tiles_for(W, H)
     _, depth_bits = cfg.key_bits(W, H)
     packed = preprocess(
