@@ -46,20 +46,40 @@ def main():
     variants = [
         ("defaults", RasterConfig()),
         ("scan/monomial", RasterConfig(composite="scan", qform="monomial")),
+        ("alpha=1/255", RasterConfig(alpha_threshold=1.0 / 255.0)),
+        ("alpha=1/512", RasterConfig(alpha_threshold=1.0 / 512.0)),
     ]
-    if variants[0][1] == variants[1][1]:  # defaults already scan/monomial
-        variants = variants[:1]
+    seen = {}
+    results = []
     for name, cfg in variants:
+        if cfg in seen:  # defaults may already equal a named variant
+            continue
+        seen[cfg] = name
         renderer = GaussianRenderer(cloud, cfg)
         img = renderer.render(cam, (width, height), args, fit_near_far=False,
                               with_diag=True)
         d = renderer._last_diag
+        p = psnr(img, ref)
         print(
             f"[{name}] n={n} {width}x{height} visible={int(d['num_visible'])} "
             f"instances={int(d['num_instances'])} dropped={int(d['num_dropped'])}"
         )
-        print(f"[{name}] PSNR vs oracle: {psnr(img, ref):.2f} dB "
+        print(f"[{name}] PSNR vs oracle: {p:.2f} dB "
               f"(budget: f16 record + RGB9E5 + depth quantization + tie order)")
+        results.append(dict(
+            variant=name, psnr_db=round(float(p), 2),
+            visible=int(d["num_visible"]), instances=int(d["num_instances"]),
+            dropped=int(d["num_dropped"]),
+        ))
+    import json
+    import os
+
+    out = os.environ.get("WS_PSNR_OUT")
+    if out:
+        with open(out, "w") as f:
+            json.dump(dict(n=n, width=width, height=height, results=results),
+                      f, indent=1)
+        print(f"wrote {out}")
 
 
 if __name__ == "__main__":

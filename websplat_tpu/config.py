@@ -78,6 +78,18 @@ class RasterConfig:
     # Instance padding granularity (= the Pallas rasterizer DMA chunk).
     chunk_size: int = 1024
 
+    # Alpha-aware instance bounds: a splat's tile rect / reach test use the
+    # tightest quadratic-form level a_max = min(2*CUTOFF, log(opacity/thr))
+    # at which its PEAK per-pixel contribution still reaches `thr`, instead
+    # of the fixed 2*CUTOFF cutoff box; splats with opacity <= thr are
+    # culled outright.  The reference's hardware quads always cover the full
+    # cutoff AABB and rely on fragment discard (gaussian.wgsl:47-67), so
+    # every instance this drops contributes < thr to any pixel it touches —
+    # below one 8-bit display quantization step at the default 1/255.  The
+    # rasterizer's blend math is unchanged for emitted tiles.  0 disables
+    # (reference-exact coverage).
+    alpha_threshold: float = 0.0
+
     # Early-termination threshold on transmittance.  The reference blends
     # every fragment back-to-front with no early out
     # (/root/reference/src/shaders/gaussian.wgsl:59-67); front-to-back with
@@ -118,11 +130,19 @@ class RasterConfig:
     #   the f32 cancellation error; see rasterize_pallas.py), with log(op)
     #   folded into the constant term so the alpha multiply and the op>0
     #   test disappear.
+    # - composite "mxu": restructured slab kernel — the monomial quadratic
+    #   form, the (log-space) transmittance prefix and the color
+    #   accumulation all run as MXU contractions over 128-splat slabs
+    #   (rasterize_pallas._make_kernel_mxu); qform is ignored.
     # Defaults: scan/monomial, TPU-measured 2026-08-18 — 9.11 vs 12.70 ms
     # (tree/direct) at 32x32 bonsai scale; the win holds at every tile
     # shape swept (scripts/sweep_raster.py).
     composite: str = "scan"
     qform: str = "monomial"
+    # f32-emulation pass count for the mxu composite's matmuls ("default"
+    # 1-pass bf16 / "high" 3-pass / "highest" 6-pass ~= f32).  The quadratic
+    # form needs >= "high" (terms up to ~1e4 vs ~1e-4 absolute error budget).
+    mxu_precision: str = "highest"
 
     # Compact invalid instances out before the sort (Pallas kernel): the sort
     # then runs over ~the true instance count instead of N * tile_slots,

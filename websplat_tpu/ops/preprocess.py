@@ -277,11 +277,28 @@ def core_math(
     conic_b = e1x * e1y * (inv_l1 - inv_l2)
     conic_c = e1y * e1y * inv_l1 + e1x * e1x * inv_l2
 
-    # ellipse AABB semi-extents of {d : 0.5 d^T conic d <= 2*CUTOFF}
+    # --- alpha-aware bound level (config.alpha_threshold) ---
+    # a_max is the largest quadratic-form value a = ha dx^2 + hb dxdy + hc dy^2
+    # at which alpha = opacity * exp(-a) still reaches the threshold:
+    # a_max = min(2*CUTOFF, log(opacity / thr)).  Tiles whose minimum a over
+    # the pixel box exceeds a_max contribute < thr everywhere and are not
+    # emitted; the rasterizer's own discard stays at the reference 2*CUTOFF.
+    thr = float(config.alpha_threshold)
+    if thr > 0.0:
+        a_max = jnp.minimum(
+            2.0 * CUTOFF, jnp.log(jnp.maximum(opacity, 1e-30) * (1.0 / thr))
+        )
+        visible = visible & (opacity > thr)
+    else:
+        a_max = jnp.full_like(opacity, 2.0 * CUTOFF)
+
+    # ellipse AABB semi-extents of {d : a(d) <= a_max} (= the reference's
+    # fixed 2*CUTOFF box when alpha_threshold is disabled)
     sig_xx = lambda1 * e1x * e1x + lambda2 * e1y * e1y
     sig_yy = lambda1 * e1y * e1y + lambda2 * e1x * e1x
-    ext_x = jnp.sqrt(4.0 * CUTOFF * jnp.maximum(sig_xx, 0.0))
-    ext_y = jnp.sqrt(4.0 * CUTOFF * jnp.maximum(sig_yy, 0.0))
+    a_max_pos = jnp.maximum(a_max, 0.0)
+    ext_x = jnp.sqrt(2.0 * a_max_pos * jnp.maximum(sig_xx, 0.0))
+    ext_y = jnp.sqrt(2.0 * a_max_pos * jnp.maximum(sig_yy, 0.0))
 
     # --- screen position (WGPU viewport transform of the flipped NDC) ---
     ndc_x = clip_x / clip_w
@@ -362,7 +379,7 @@ def core_math(
         bx1 = bx0 + (ts_x - 1)
         by0 = ty.astype(jnp.float32) * ts_y + 0.5 - py
         by1 = by0 + (ts_y - 1)
-        return rect_min_a(bx0, bx1, by0, by1) <= 2.0 * CUTOFF
+        return rect_min_a(bx0, bx1, by0, by1) <= a_max
 
     # center tile of the rect (for the clamped-splat center-out walk):
     # INTEGER midpoint of the UNCLAMPED rect (= the splat's true center tile
@@ -398,7 +415,7 @@ def core_math(
         reaches=reaches,
         # raw per-splat values needed to rebuild `reaches` on a gathered
         # subset (overflow_emit's giant-splat grid stage)
-        reach_raw=(px, py, half_a, conic_b, half_c),
+        reach_raw=(px, py, half_a, conic_b, half_c, a_max),
     )
 
 
@@ -630,7 +647,7 @@ def reaches_of(d, gi, ts_x: float, ts_y: float):
     ``gi`` indexes rows of the arrays behind ``d["reach_raw"]``; the returned
     callable accepts broadcast-compatible tile-coord arrays whose TRAILING
     axis matches gi (e.g. (n_tiles, g) vs per-splat (g,))."""
-    px, py, ha, hb, hc = (a[gi] for a in d["reach_raw"])
+    px, py, ha, hb, hc, a_max = (a[gi] for a in d["reach_raw"])
 
     def rect_min_a(x0, x1, y0, y1):
         inside_r = (x0 <= 0.0) & (0.0 <= x1) & (y0 <= 0.0) & (0.0 <= y1)
@@ -654,7 +671,7 @@ def reaches_of(d, gi, ts_x: float, ts_y: float):
         bx1 = bx0 + (ts_x - 1)
         by0 = ty.astype(jnp.float32) * ts_y + 0.5 - py
         by1 = by0 + (ts_y - 1)
-        return rect_min_a(bx0, bx1, by0, by1) <= 2.0 * CUTOFF
+        return rect_min_a(bx0, bx1, by0, by1) <= a_max
 
     return reaches
 
