@@ -153,14 +153,18 @@ def test_band_skipping_bit_exact(rng):
 
 
 @pytest.mark.parametrize(
-    "composite,qform", [("scan", "monomial"), ("tree", "monomial"), ("scan", "direct")]
+    "composite,qform",
+    [("scan", "monomial"), ("tree", "monomial"), ("scan", "direct"),
+     ("mxu", "monomial")],
 )
 def test_inner_loop_variants_agree(rng, composite, qform):
     """The rasterizer's inner-loop math variants (config.composite/qform)
     must agree with the default (tree+direct) pipeline: scan-vs-tree is
-    an f32 reassociation of the same over-composite (1-ulp), and the
+    an f32 reassociation of the same over-composite (1-ulp), the
     monomial expansion of the quadratic form is bounded to ~1e-4 absolute
-    in `a` by the tile-local coordinates (rasterize_pallas.py band_pix)."""
+    in `a` by the tile-local coordinates (rasterize_pallas.py band_pix),
+    and the mxu composite's log-space transmittance round-trip stays ~1e-6
+    relative in the live (T > eps) regime."""
     cloud = make_cloud(rng, n=120)
     cam = make_camera(viewport=(W, H))
     args = SplattingArgs(background_color=(0.2, 0.1, 0.4))

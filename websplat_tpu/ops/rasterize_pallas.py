@@ -96,6 +96,297 @@ def _gm_shuffle(s):
     return jnp.transpose(w, (1, 0))  # (8, 128)
 
 
+def _make_kernel_mxu(
+    *,
+    num_tiles_x: int,
+    tile_w: int,
+    tile_h: int,
+    eps: float,
+    cq: packing.CenterQuant,
+    group_skip: bool = True,
+    precision: str = "highest",
+):
+    """MXU-structured rasterizer body (composite="mxu").
+
+    The VPU variants evaluate 8 splats x P pixels per register step; here a
+    SLAB of 128 depth-consecutive splats is evaluated against all P tile
+    pixels with the three dense contractions on the MXU:
+
+      1. quadratic form:  na(S,P) = C(6,S) . M6(6,P)   per-splat monomial
+         coefficients against the tile-constant pixel monomials (the VPU
+         monomial variant's 6 broadcast-FMAs, as one matmul);
+      2. transmittance:   the order-dependent prefix product of (1 - alpha)
+         moves to LOG SPACE, where it is a prefix SUM along the depth axis =
+         one strictly-lower-triangular (S,S) . (S,P) matmul (exclusive scan);
+      3. colors:          rgb(3,P) += RGB(3,S) . W(S,P) with W = alpha *
+         T_excl — the premultiplied-over accumulation as a matmul.
+
+    The VPU work that remains per (splat, pixel) pair is ~4x smaller than the
+    scan composite (exp/min/where for alpha, log1p, one exp back from log
+    space, one multiply), and it overlaps the MXU issue.  Depth order needs
+    no relayout at all: the raw (8, 128) chunk row r holds splats
+    [128r, 128r+128) along LANES, which is exactly the contraction order the
+    triangular matmul consumes — the group-major shuffle of the VPU variants
+    disappears.
+
+    Numerics: TPU f32 matmuls default to a single bf16 MXU pass (~4e-3
+    relative), which would corrupt the quadratic form (terms up to ~1e4
+    need ~1e-4 absolute, see the monomial variant's cancellation analysis);
+    `precision` selects the f32-emulation pass count for all three matmuls
+    ("default" 1-pass bf16 / "high" 3-pass / "highest" 6-pass ~= true f32).
+    Order of blending is bit-identical to the other variants (same sorted
+    stream, same front-to-back semantics); alpha math matches the monomial
+    variant, the composite differs only by the exp/log round-trip (|cum| <=
+    -log(eps) ~ 9.2 in the live regime, so f32 log/exp keeps T to ~1e-6
+    relative).  Reference semantics preserved: b = min(0.99, exp(-a)*op),
+    2*CUTOFF discard, premultiplied over (gaussian.wgsl:2,59-67).
+    """
+    p = tile_w * tile_h
+    sub = p // 128
+    import os
+    cross_tile = not os.environ.get("WS_NO_CROSS_TILE")
+    prec = {
+        "default": lax.Precision.DEFAULT,
+        "high": lax.Precision.HIGH,
+        "highest": lax.Precision.HIGHEST,
+    }[precision]
+    # all-sentinel tails still saturate pixels in LOG space: log(eps) floor
+    log_eps = float(np.log(eps)) if eps > 0.0 else -3.0e38
+    NEG = -1.0e30  # python float: a jnp scalar here would be captured as a
+    # pallas_call constant, which Mosaic rejects
+
+    def kernel(ranges_ref, w0_hbm, w1_hbm, w2_hbm, w3_hbm, out_ref,
+               v0a, v1a, v2a, v3a, v0b, v1b, v2b, v3b, sems):
+        t = pl.program_id(0)
+        start = ranges_ref[t]
+        end = ranges_ref[t + 1]
+
+        tile_x = (t % num_tiles_x) * tile_w
+        tile_y = (t // num_tiles_x) * tile_h
+
+        # tile-constant pixel monomials in TILE-LOCAL coordinates (see the
+        # monomial variant for the cancellation-error argument); (6, P) =
+        # [-x^2, -xy, -y^2, x, y, 1] rows so na = C . M6 needs no negations
+        f = lax.broadcasted_iota(jnp.int32, (1, p), 1)
+        xl = (f % tile_w).astype(jnp.float32) + 0.5
+        yl = (f // tile_w).astype(jnp.float32) + 0.5
+        m6 = jnp.concatenate(
+            [-(xl * xl), -(xl * yl), -(yl * yl), xl, yl, jnp.ones_like(xl)],
+            axis=0,
+        )  # (6, P)
+        # strictly-lower-triangular ones: cum_excl = L . loga (exclusive
+        # prefix sum along the 128-splat depth axis)
+        li = lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        lj = lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        l_strict = (lj < li).astype(jnp.float32)
+
+        chunk0 = lax.div(start, CHUNK)
+        # see the VPU kernel: empty tiles MUST yield n_chunks == 0 (the
+        # predecessor never started their first-chunk DMA)
+        n_chunks = jnp.where(
+            end > start, lax.div(end + CHUNK - 1, CHUNK) - chunk0, 0
+        )
+
+        g_lane = lax.broadcasted_iota(jnp.int32, (GROUP, 128), 1)
+        g_sub = lax.broadcasted_iota(jnp.int32, (GROUP, 128), 0)
+        # RAW row-major chunk order: element (r, l) is chunk splat 128r + l
+        chunk_raw_idx = 128 * g_sub + g_lane
+
+        words_hbm = (w0_hbm, w1_hbm, w2_hbm, w3_hbm)
+        vbufs = ((v0a, v1a, v2a, v3a), (v0b, v1b, v2b, v3b))
+
+        def copies(slot, ci):
+            off = pl.multiple_of((chunk0 + ci) * CHUNK, CHUNK)
+            return [
+                pltpu.make_async_copy(
+                    words_hbm[i].at[pl.ds(off, CHUNK)],
+                    vbufs[slot][i],
+                    sems.at[slot, i],
+                )
+                for i in range(4)
+            ]
+
+        def chunk_start(slot, ci):
+            for c in copies(slot, ci):
+                c.start()
+
+        def chunk_wait(slot, ci):
+            for c in copies(slot, ci):
+                c.wait()
+
+        @pl.when(((t == 0) | (not cross_tile)) & (n_chunks > 0))
+        def _warmup():
+            chunk_start(0, 0)
+
+        def chunk_body(carry):
+            ci, acc, carry_log = carry
+            s = ci % 2
+
+            @pl.when(s == 0)
+            def _w0():
+                chunk_wait(0, ci)
+
+            @pl.when(s == 1)
+            def _w1():
+                chunk_wait(1, ci)
+
+            @pl.when((s == 0) & (ci + 1 < n_chunks))
+            def _p1():
+                chunk_start(1, ci + 1)
+
+            @pl.when((s == 1) & (ci + 1 < n_chunks))
+            def _p0():
+                chunk_start(0, ci + 1)
+
+            def word(i):
+                w = jnp.where(s == 0, vbufs[0][i][...], vbufs[1][i][...])
+                return w.reshape(8, 128)  # raw order — no group shuffle
+
+            w0 = word(0)
+            w1 = word(1)
+            w2 = word(2)
+            w3 = word(3)
+            off = (chunk0 + ci) * CHUNK
+            cx_g = (w0 & 0xFFFF).astype(jnp.int32).astype(jnp.float32) * (
+                1.0 / cq.scale_x
+            ) - cq.margin
+            cy_g = (w0 >> 16).astype(jnp.int32).astype(jnp.float32) * (
+                1.0 / cq.scale_y
+            ) - cq.margin
+            ha_g = _f16_vec(w1)
+            hb_g = _f16_vec(w1 >> 16)
+            hc_g = _f16_vec(w2)
+            op_g = _f16_vec(w2 >> 16)
+            e9 = (w3 >> 27).astype(jnp.int32)
+            scale9 = pltpu.bitcast(((e9 + 103) << 23).astype(jnp.uint32), jnp.float32)
+            r_g = (w3 & 0x1FF).astype(jnp.int32).astype(jnp.float32) * scale9
+            g_g = ((w3 >> 9) & 0x1FF).astype(jnp.int32).astype(jnp.float32) * scale9
+            b_g = ((w3 >> 18) & 0x1FF).astype(jnp.int32).astype(jnp.float32) * scale9
+            idx = off + chunk_raw_idx
+            op_g = jnp.where((idx >= start) & (idx < end), op_g, 0.0)
+            live = op_g > 0.0
+
+            # monomial coefficients (see the VPU monomial variant); dead and
+            # garbage lanes (sentinel tails, chunk over-reads — possibly
+            # NaN/inf decodes) are SANITIZED to finite values because they
+            # flow through MXU contractions where a NaN would poison whole
+            # output tiles: coefs -> 0, c5 -> -1e30 (na ~ -1e30, exp -> 0),
+            # t5 -> 0 (discard compare false).
+            u = cx_g - tile_x.astype(jnp.float32)
+            v = cy_g - tile_y.astype(jnp.float32)
+            hbv = hb_g * v
+            a0 = (ha_g * u + hbv) * u + hc_g * (v * v)
+            logop = jnp.log(op_g)  # -inf on dead lanes; selected away below
+            z = jnp.float32(0.0)
+            coef_rows = (
+                jnp.where(live, ha_g, z),
+                jnp.where(live, hb_g, z),
+                jnp.where(live, hc_g, z),
+                jnp.where(live, (ha_g + ha_g) * u + hbv, z),
+                jnp.where(live, hb_g * u + (hc_g + hc_g) * v, z),
+                jnp.where(live, logop - a0, NEG),
+            )
+            t5_g = jnp.where(live, logop - jnp.float32(2.0 * CUTOFF), z)
+            # one small transpose per chunk: per-splat threshold columns
+            t5_t = jnp.transpose(t5_g, (1, 0))  # (128, 8)
+
+            def slab(r, state):
+                acc_, clog = state
+                shift = (8 - r) % 8
+
+                def row(x):
+                    y = pltpu.roll(x, shift=shift, axis=0) if shift else x
+                    return y[0:1, :]
+
+                c6 = jnp.concatenate([row(c) for c in coef_rows], axis=0)
+                # (128, P) = contraction over the 6 monomials; splats are
+                # SUBLANES in depth order (lanes of raw row r)
+                na = lax.dot_general(
+                    c6, m6, (((0,), (0,)), ((), ())), precision=prec
+                )
+                t5_col = t5_t[:, r : r + 1]  # (128, 1)
+                alpha = jnp.where(
+                    na > t5_col, jnp.minimum(0.99, jnp.exp(na)), 0.0
+                )
+                loga = jnp.log1p(-alpha)  # 0 on dead lanes (alpha == 0)
+                cum = lax.dot_general(
+                    l_strict, loga, (((1,), (0,)), ((), ())), precision=prec
+                )
+                w_ = alpha * jnp.exp(cum + clog)
+                # (8, 128) lhs: rgb rows 0-2 + five zero rows (sublane-dim
+                # padding keeps the accumulator roll-extractable at 8 rows)
+                rgb8 = jnp.concatenate(
+                    [row(r_g), row(g_g), row(b_g),
+                     jnp.zeros((5, 128), jnp.float32)],
+                    axis=0,
+                )
+                acc_ = acc_ + lax.dot_general(
+                    rgb8, w_, (((1,), (0,)), ((), ())), precision=prec
+                )
+                clog = clog + jnp.sum(loga, axis=0, keepdims=True)
+                return acc_, clog
+
+            state = (acc, carry_log)
+            for r in range(8):
+                if group_skip:
+                    shift = (8 - r) % 8
+                    op_row = (
+                        pltpu.roll(op_g, shift=shift, axis=0) if shift else op_g
+                    )[0:1, :]
+                    go = (jnp.max(op_row) > 0.0) & (
+                        jnp.max(state[1]) > log_eps
+                    )
+                    state = lax.cond(
+                        go, functools.partial(slab, r), lambda st: st, state
+                    )
+                else:
+                    state = slab(r, state)
+            return ci + 1, state[0], state[1]
+
+        def chunk_cond(carry):
+            ci, _, carry_log = carry
+            return jnp.logical_and(ci < n_chunks, jnp.max(carry_log) > log_eps)
+
+        acc0 = jnp.zeros((8, p), jnp.float32)
+        clog0 = jnp.zeros((1, p), jnp.float32)
+        ci_f, acc, carry_log = lax.while_loop(
+            chunk_cond, chunk_body, (jnp.int32(0), acc0, clog0)
+        )
+
+        @pl.when((ci_f < n_chunks) & (ci_f % 2 == 0))
+        def _d0():
+            chunk_wait(0, ci_f)
+
+        @pl.when((ci_f < n_chunks) & (ci_f % 2 == 1))
+        def _d1():
+            chunk_wait(1, ci_f)
+
+        num_t = pl.num_programs(0)
+
+        @pl.when((t + 1 < num_t) & cross_tile)
+        def _next_tile():
+            nstart = ranges_ref[t + 1]
+            nend = ranges_ref[t + 2]
+
+            @pl.when(nend > nstart)
+            def _():
+                noff = pl.multiple_of(lax.div(nstart, CHUNK) * CHUNK, CHUNK)
+                for i in range(4):
+                    pltpu.make_async_copy(
+                        words_hbm[i].at[pl.ds(noff, CHUNK)],
+                        vbufs[0][i],
+                        sems.at[0, i],
+                    ).start()
+
+        trans = jnp.exp(carry_log)
+        out_ref[0, 0] = acc[0:1, :].reshape(sub, 128)
+        out_ref[0, 1] = pltpu.roll(acc, shift=7, axis=0)[0:1, :].reshape(sub, 128)
+        out_ref[0, 2] = pltpu.roll(acc, shift=6, axis=0)[0:1, :].reshape(sub, 128)
+        out_ref[0, 3] = trans.reshape(sub, 128)
+
+    return kernel
+
+
 def _make_kernel(
     *,
     num_tiles_x: int,
@@ -109,7 +400,20 @@ def _make_kernel(
     y_bands: int = 1,
     composite: str = "scan",
     qform: str = "monomial",
+    mxu_precision: str = "highest",
 ):
+    if composite == "mxu":
+        if y_bands != 1:
+            raise ValueError("composite='mxu' supports y_bands=1 only")
+        return _make_kernel_mxu(
+            num_tiles_x=num_tiles_x,
+            tile_w=tile_w,
+            tile_h=tile_h,
+            eps=eps,
+            cq=cq,
+            group_skip=group_skip,
+            precision=mxu_precision,
+        )
     if composite not in ("tree", "scan"):
         raise ValueError(f"unknown composite: {composite!r}")
     if qform not in ("direct", "monomial"):
@@ -636,6 +940,7 @@ def rasterize_pallas(
         y_bands=bands,
         composite=config.composite,
         qform=config.qform,
+        mxu_precision=config.mxu_precision,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
