@@ -90,6 +90,10 @@ def main():
     if os.environ.get("WS_TILE"):
         tw, th = os.environ["WS_TILE"].split("x")
         overrides["tile_w"], overrides["tile_h"] = int(tw), int(th)
+    if os.environ.get("WS_ALPHA"):
+        overrides["alpha_threshold"] = float(os.environ["WS_ALPHA"])
+    if os.environ.get("WS_MXU_PREC"):
+        overrides["mxu_precision"] = os.environ["WS_MXU_PREC"]
     config = RasterConfig(**overrides)
 
     dc = upload_cloud(cloud)
@@ -150,6 +154,18 @@ def main():
         r = tile_ranges(sk, tx * ty, depth_bits)
         return _live(sk, sp) + r.astype(jnp.float32).sum()
 
+    def stage_pre_raster(dc, dcam, dset, bg, salt=0):
+        # the REAL frame pipeline truncated after tile ranges — unlike the
+        # reconstructed stages above this includes the overflow pass
+        # (overflow_emit + compact + splice), so (pre_raster - ranges) is the
+        # overflow cost and (full - pre_raster) is raster kernel + assembly
+        from websplat_tpu.render.renderer import render_frame_impl
+
+        sk, sp, r = render_frame_impl(dc, salted(dcam, salt), dset, bg,
+                                      width=width, height=height,
+                                      config=config, stop_after="ranges")
+        return _live(sk, sp) + r.astype(jnp.float32).sum()
+
     def stage_full(dc, dcam, dset, bg, salt=0):
         from websplat_tpu.render.renderer import render_frame_impl
 
@@ -157,17 +173,38 @@ def main():
                                 width=width, height=height, config=config)
         return img[::256, ::256].sum()
 
+    def stage_assembly(tiles, bg, salt=0):
+        # tiles -> image reassembly exactly as rasterize_pallas' epilogue
+        tx_, ty_ = config.tiles_for(width, height)
+        img = (tiles + salt * 1e-12).reshape(
+            ty_, tx_, 4, config.tile_h, config.tile_w
+        )
+        img = img.transpose(0, 3, 1, 4, 2).reshape(
+            ty_ * config.tile_h, tx_ * config.tile_w, 4
+        )
+        img = img[:height, :width]
+        img = img[:, :, :3] + img[:, :, 3:4] * bg[None, None, :]
+        return img[::256, ::256].sum()
+
     t_front = timed(stage_compact, dc, dcam, dset)
     t_sort = timed(stage_sort, dc, dcam, dset)
     t_rng = timed(stage_ranges, dc, dcam, dset)
+    t_pre = timed(stage_pre_raster, dc, dcam, dset, bg)
     t_full = timed(stage_full, dc, dcam, dset, bg)
+    sub = (config.tile_w * config.tile_h) // 128
+    tiles0 = jnp.zeros((tx * ty, 4, sub, 128), jnp.float32)
+    t_asm = timed(stage_assembly, tiles0, bg)
     print(f"backend={jax.default_backend()} n={n} {width}x{height} "
           f"slots={config.tile_slots} sort={config.sort_backend} "
-          f"compact={config.compact}")
+          f"compact={config.compact} composite={config.composite} "
+          f"alpha_thr={config.alpha_threshold}")
     print(f"frontend (pre+emit+compact): {t_front:8.2f} ms")
     print(f"+ sort                : {t_sort:8.2f} ms  (sort ~ {t_sort - t_front:.2f})")
     print(f"+ tile ranges         : {t_rng:8.2f} ms  (ranges ~ {t_rng - t_sort:.2f})")
-    print(f"full frame            : {t_full:8.2f} ms  (raster ~ {t_full - t_rng:.2f})")
+    print(f"+ overflow splice     : {t_pre:8.2f} ms  (overflow ~ {t_pre - t_rng:.2f})")
+    print(f"full frame            : {t_full:8.2f} ms  (raster+asm ~ {t_full - t_pre:.2f})")
+    print(f"tile->image assembly  : {t_asm:8.2f} ms  (isolated; raster ~ "
+          f"{t_full - t_pre - t_asm:.2f})")
 
 
 if __name__ == "__main__":

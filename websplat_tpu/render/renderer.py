@@ -151,12 +151,18 @@ def render_frame_impl(
     compressed: bool = False,
     return_diag: bool = False,
     multi_device: bool = False,
+    stop_after: Optional[str] = None,
 ):
     """Unjitted frame core: (H, W, 3) f32 linear image (+ diagnostics).
 
     Composable under jit / vmap / shard_map (the multi-view and multi-chip
     paths in websplat_tpu/parallel wrap this; they pass ``multi_device=True``
-    so non-TPU traces avoid interpret-mode Pallas — see use_pallas_ops)."""
+    so non-TPU traces avoid interpret-mode Pallas — see use_pallas_ops).
+
+    ``stop_after="ranges"`` truncates the frame after tile-range extraction
+    and returns (sorted_keys, sorted_payload, ranges) — the stage profiler's
+    hook for timing the REAL pre-raster pipeline (including the overflow
+    splice the stage-local reconstructions miss); not for production use."""
     if isinstance(cloud, CompressedDeviceCloud):
         cloud = decompress_cloud(cloud)
     pallas_ok = use_pallas_ops(multi_device)
@@ -295,6 +301,8 @@ def render_frame_impl(
     tx, ty = config.tiles_for(width, height)
     _, depth_bits = config.key_bits(width, height)
     ranges = tile_ranges(sorted_keys, tx * ty, depth_bits)
+    if stop_after == "ranges":
+        return sorted_keys, sorted_payload, ranges
 
     if config.raster_backend == "pallas" and pallas_ok:
         from websplat_tpu.ops.rasterize_pallas import rasterize_pallas
@@ -321,7 +329,8 @@ def render_frame_impl(
 render_frame = jax.jit(
     render_frame_impl,
     static_argnames=(
-        "width", "height", "config", "compressed", "return_diag", "multi_device"
+        "width", "height", "config", "compressed", "return_diag",
+        "multi_device", "stop_after",
     ),
 )
 
