@@ -95,13 +95,21 @@ def make_view_parallel_renderer(
     multiple of the mesh size; images come back sharded over the view axis.
     """
 
+    # multi_device gates interpret-mode Pallas OFF only when the mesh really
+    # has >1 device (the interpreter's threading.Barrier deadlock, see
+    # renderer.use_pallas_ops); a 1-device mesh runs the production Pallas
+    # kernels even off-TPU, so tests can execute the real fused branch under
+    # shard_map
+    multi = mesh.shape[VIEW_AXIS] > 1
+
     def step(cloud, cameras, settings, background):
         def shard_fn(cloud, cams, settings, background):
             def one(cam):
                 img, diag = render_frame_impl(
                     cloud, cam, settings, background,
                     width=width, height=height, config=config,
-                    compressed=compressed, return_diag=True, multi_device=True,
+                    compressed=compressed, return_diag=True,
+                    multi_device=multi,
                 )
                 return img, diag["num_visible"]
 

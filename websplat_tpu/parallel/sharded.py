@@ -110,7 +110,10 @@ def make_splat_sharded_renderer(
         # 1. local preprocess + emission + compaction + sort (tile-major keys)
         from websplat_tpu.render.renderer import use_pallas_ops
 
-        pallas_ok = use_pallas_ops(multi_device=True)
+        # d == 1: interpret-mode Pallas has no mesh barrier, so the REAL
+        # fused-frontend + Pallas-raster branch runs under shard_map off-TPU
+        # (renderer.use_pallas_ops)
+        pallas_ok = use_pallas_ops(multi_device=d > 1)
         fused_ok = (
             config.compact and pallas_ok
             and tx_tiles <= 127 and ty_tiles <= 127
