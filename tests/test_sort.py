@@ -157,3 +157,69 @@ def test_sort_u64_backend_end_to_end(rng):
     ).render(cam, (64, 32), args)
     assert np.isfinite(img_u).all()
     assert np.abs(img_x - img_u).max() < 5e-3
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_overflow_ladder_prefix_fuzz():
+    """Fuzz the overflow/ladder boundary (renderer.py n_valid accounting).
+
+    The renderer advances the sort-ladder prefix past the spliced overflow
+    stream by min(o_count + 127 * o_src_blocks, b) — a bound from the
+    compactor's "up to 127 interleaved sentinels per source block" contract
+    (ops/compact_pallas.py).  If that bound ever under-counted, a real
+    instance would land beyond the sorted ladder prefix and the final key
+    array would NOT be globally sorted (the untouched tail must be pure
+    sentinel).  Scenes are big-splat-heavy so the clamped/overflow counts
+    vary across seeds and straddle sort-rung boundaries (rungs are eighths
+    of the capacity, ops/sort.py); capacities are sized so the ladder
+    (m >= 2^17) and the overflow compactor (candidates > 65536) both engage.
+    """
+    import sys
+
+    import jax
+
+    sys.path.insert(0, "tests")
+    from synth import make_camera, make_cloud
+
+    from websplat_tpu.config import RasterConfig, SplattingArgs, resolve_settings
+    from websplat_tpu.models.camera import CameraUniforms
+    from websplat_tpu.render.renderer import (
+        camera_to_device,
+        render_frame,
+        settings_to_device,
+        upload_cloud,
+    )
+
+    W, H = 256, 192
+    for seed, oslots, factor in [(11, 40, 64.0), (12, 48, 64.0), (13, 40, 72.0)]:
+        rng = np.random.default_rng(seed)
+        cloud = make_cloud(rng, n=2100, scale_range=(-2.8, -1.6))
+        cfg = RasterConfig(
+            tile_slots=4,
+            overflow_slots=oslots,
+            instance_capacity_factor=factor,
+        )
+        cam = make_camera(viewport=(W, H))
+        cam.fit_near_far(*cloud.aabb)
+        uni = CameraUniforms.from_camera(cam, (W, H))
+        settings = resolve_settings(SplattingArgs(), cloud)
+        sk, sp, ranges = render_frame(
+            upload_cloud(cloud),
+            camera_to_device(uni),
+            settings_to_device(settings),
+            jnp.asarray(settings.background_color, jnp.float32),
+            width=W, height=H, config=cfg, stop_after="ranges",
+        )
+        k = np.asarray(sk)
+        n_real = int((k != np.uint32(0xFFFFFFFF)).sum())
+        assert n_real > 0
+        # THE invariant: globally non-decreasing keys — every real instance
+        # (main stream AND spliced overflow) was inside the sorted prefix
+        assert np.all(k[:-1] <= k[1:]), (
+            seed, np.argmin(k[:-1] <= k[1:]), n_real, k.shape[0],
+        )
+        # and the tile ranges span exactly the real instances
+        assert int(np.asarray(ranges)[-1]) == n_real
