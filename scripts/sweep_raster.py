@@ -106,6 +106,13 @@ def main():
         shapes = [(64, 16), (16, 32), (64, 32), (32, 64), (128, 16)]
         variants = [("scan", "monomial")]
         tune = [(None, None)]
+    elif "--mxu" in sys.argv:
+        # MXU slab kernel vs the VPU scan winner, across the f32-emulation
+        # pass counts (second element = mxu_precision, not qform)
+        shapes = [(32, 32), (64, 16), (32, 16), (64, 32)]
+        variants = [("scan", "monomial"), ("mxu", "default"),
+                    ("mxu", "high"), ("mxu", "highest")]
+        tune = [(None, None)]
     else:
         shapes = [(32, 16), (16, 16), (32, 8), (16, 8), (64, 8), (32, 32)]
         variants = [("tree", "direct"), ("scan", "direct"),
@@ -126,7 +133,10 @@ def main():
         for (composite, qform), (sk, gb) in [
             (v, t) for v in variants for t in tune
         ]:
-            over = dict(composite=composite, qform=qform)
+            if composite == "mxu":
+                over = dict(composite="mxu", mxu_precision=qform)
+            else:
+                over = dict(composite=composite, qform=qform)
             label = f"{composite}/{qform}"
             if sk is not None:
                 over.update(seg_k=sk, group_batch=gb)
