@@ -31,7 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from websplat_tpu.config import RasterConfig
-from websplat_tpu.ops.preprocess import DeviceCloud, CameraParams, DeviceSettings, core_math, iter_slots, scalars_from_pytrees
+from websplat_tpu.ops.preprocess import DeviceCloud, CameraParams, DeviceSettings, core_math, iter_slots, pack_rect4, scalars_from_pytrees
 
 INVALID_KEY = np.uint32(0xFFFFFFFF)
 
@@ -86,23 +86,25 @@ def _make_kernel(
     compressed: bool,
     capacity_c_pad: int = 0,
 ):
-    # capacity_c_pad > 0 adds a SIXTH compacted stream: the global indices of
-    # CLAMPED splats (visible & n_rect > slots), written by its own
-    # exact-cursor writer.  The renderer's overflow pass re-reads just those
-    # splats and emits their remaining rect tiles (row-major ranks >= slots),
-    # restoring the reference's unbounded per-splat coverage
-    # (gaussian.wgsl:47-53) at ~1%-of-splats cost.
+    # capacity_c_pad > 0 adds a compacted 6-WORD clamped-splat stream
+    # (rect4, w0..w3, depth_q) for CLAMPED splats (visible & n_rect > slots),
+    # written by its own exact-cursor writer.  The renderer's overflow pass
+    # decodes these rows directly — no cloud re-gather, no core_math re-run
+    # (see ops/preprocess.py:overflow_emit) — and emits the remaining rect
+    # tiles (row-major ranks >= slots), restoring the reference's unbounded
+    # per-splat coverage (gaussian.wgsl:47-53) at ~1%-of-splats cost.
     with_cid = capacity_c_pad > 0
+    CID_W = 6  # words per clamped-splat row
 
     def kernel(scal_ref, *refs):
-        # refs layout: 34 inputs; outputs (5 stream + stats [+ cid]);
-        # scratch (5+cid staged, 5+cid carry, sems, smem)
+        # refs layout: 34 inputs; outputs (5 stream + stats [+ 6 cid]);
+        # scratch (5+6 staged, 5+6 carry, sems, smem)
         ins = refs[:34]
-        n_out = 6 + (1 if with_cid else 0)
+        n_out = 6 + (CID_W if with_cid else 0)
         keys_out, o0, o1, o2, o3, stats_out = refs[34:40]
-        cid_out = refs[40] if with_cid else None
+        cid_outs = refs[40 : 40 + CID_W] if with_cid else None
         sc = 34 + n_out
-        n_st = 5 + (1 if with_cid else 0)
+        n_st = 5 + (CID_W if with_cid else 0)
         stages_all = refs[sc : sc + n_st]
         carries_all = refs[sc + n_st : sc + 2 * n_st]
         sems, state = refs[sc + 2 * n_st :]
@@ -278,30 +280,42 @@ def _make_kernel(
                 state[1] = state[1] + cnt
 
         if with_cid:
-            # clamped-splat id stream: global splat index of every visible
-            # splat whose rect exceeds the slot budget, compacted exactly
-            # like the instance stream (1-word units, own cursor/sem)
+            # clamped-splat record stream: (rect4, w0..w3, depth_q) of every
+            # visible splat whose rect exceeds the slot budget, compacted
+            # exactly like the instance stream (6-word units, own
+            # cursor/sems).  rect4's 0xFFFFFFFF sentinel self-masks in the
+            # overflow decode (n_rect == 1), so no separate validity word.
             cid_mask = d["visible"] & (d["n_rect"] > slots)
             cid_ok = cid_mask.astype(jnp.int32)
-            cid = (s * SPLATS + flat_pos).astype(jnp.uint32)
-            cid_key = jnp.where(cid_mask, cid, jnp.uint32(INVALID_KEY))
+            rect4 = pack_rect4(d["tx0"], d["ty0"], d["tx1"], d["ty1"])
+            rect_key = jnp.where(cid_mask, rect4, jnp.uint32(INVALID_KEY))
             cid_cnt = jnp.sum(cid_ok)
 
-            def cid_shuffle(cid_key=cid_key, cid_ok=cid_ok, cid_cnt=cid_cnt):
-                (c,) = compact_block(cid_ok, [cid_key])
-                return jnp.where(flat_pos >= cid_cnt, jnp.uint32(INVALID_KEY), c)
+            def cid_shuffle(rect_key=rect_key, cid_ok=cid_ok, cid_cnt=cid_cnt):
+                arrs = compact_block(
+                    cid_ok, [rect_key] + list(words) + [depth_q]
+                )
+                rect_c = jnp.where(
+                    flat_pos >= cid_cnt, jnp.uint32(INVALID_KEY), arrs[0]
+                )
+                return (rect_c,) + tuple(arrs[1:])
 
             def cid_none():
-                return jnp.full((ROWS, 128), INVALID_KEY, jnp.uint32)
+                return (
+                    jnp.full((ROWS, 128), INVALID_KEY, jnp.uint32),
+                ) + tuple(
+                    jnp.zeros((ROWS, 128), jnp.uint32) for _ in range(CID_W - 1)
+                )
 
             cid_vals = lax.cond(cid_cnt > 0, cid_shuffle, cid_none)
 
             @pl.when(cid_cnt > 0)
             def _write_cid():
                 stream_write(
-                    (cid_vals,), cid_cnt, (jnp.uint32(INVALID_KEY),),
-                    st=stages_all[5:6], ca=carries_all[5:6],
-                    out_refs=(cid_out,), sem0=5,
+                    cid_vals, cid_cnt,
+                    (jnp.uint32(INVALID_KEY),) + (jnp.uint32(0),) * (CID_W - 1),
+                    st=stages_all[5:], ca=carries_all[5:],
+                    out_refs=cid_outs, sem0=5,
                     cursor_idx=4, cap_pad=capacity_c_pad,
                 )
 
@@ -324,11 +338,12 @@ def _make_kernel(
 
                 @pl.when(state[4] > 0)
                 def _drain_cid():
-                    pltpu.make_async_copy(
-                        stages_all[5],
-                        cid_out.at[pl.ds(jnp.int32(0), STAGE)],
-                        sems.at[5],
-                    ).wait()
+                    for w in range(CID_W):
+                        pltpu.make_async_copy(
+                            stages_all[5 + w],
+                            cid_outs[w].at[pl.ds(jnp.int32(0), STAGE)],
+                            sems.at[5 + w],
+                        ).wait()
 
             li = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
             stats = jnp.where(
@@ -376,9 +391,10 @@ def fused_frontend(
     """cloud -> (keys, payload4, num_visible, num_clamped, num_valid,
     num_dropped): the whole frame frontend in one kernel launch.
 
-    capacity_c > 0 additionally returns (clamped_ids, num_clamped_ids):
-    a compacted u32 prefix of the global indices of clamped splats
-    (sentinel-tailed), for the renderer's overflow pass."""
+    capacity_c > 0 additionally returns (cid_words, num_clamped_ids):
+    a compacted 6-word-per-row stream (rect4, w0..w3, depth_q) of clamped
+    splats (rect4 == 0xFFFFFFFF sentinel tail), consumed directly by the
+    renderer's overflow pass (ops/preprocess.py:overflow_emit)."""
     n = cloud.opacity.shape[0]
     slots = config.tile_slots
     tx_tiles, ty_tiles = config.tiles_for(width, height)
@@ -425,7 +441,8 @@ def fused_frontend(
 
     with_cid = capacity_c > 0
     capacity_c_pad = (-(-capacity_c // ALIGN) * ALIGN + STAGE) if with_cid else 0
-    n_streams = 5 + (1 if with_cid else 0)
+    CID_W = 6
+    n_streams = 5 + (CID_W if with_cid else 0)
 
     kernel = _make_kernel(
         slots=slots,
@@ -446,8 +463,10 @@ def fused_frontend(
         jax.ShapeDtypeStruct((1, 128), jnp.int32)
     ]
     if with_cid:
-        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-        out_shapes.append(jax.ShapeDtypeStruct((capacity_c_pad,), jnp.uint32))
+        out_specs.extend([pl.BlockSpec(memory_space=pl.ANY)] * CID_W)
+        out_shapes.extend(
+            [jax.ShapeDtypeStruct((capacity_c_pad,), jnp.uint32)] * CID_W
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_steps,),
@@ -489,13 +508,16 @@ def fused_frontend(
     out = (keys, (w0, w1, w2, w3), num_visible, num_clamped, num_valid,
            num_dropped)
     if with_cid:
-        cid = res[6]
+        cid_raw = res[6 : 6 + CID_W]
         cid_total = stats[0, 4]
         n_cid = jnp.minimum(cid_total, capacity_c)
-        cid = jnp.where(
+        # sentinel-mask the rect word past the compacted count (rect4
+        # sentinels self-mask downstream); other words pass through
+        rect = jnp.where(
             jnp.arange(capacity_c_pad, dtype=jnp.int32) >= n_cid,
             jnp.uint32(INVALID_KEY),
-            cid,
+            cid_raw[0],
         )[:capacity_c]
-        out = out + (cid, n_cid)
+        cid_words = (rect,) + tuple(w[:capacity_c] for w in cid_raw[1:])
+        out = out + (cid_words, n_cid)
     return out

@@ -108,9 +108,10 @@ class PreprocessOut(NamedTuple):
     # (renderer.rs:170-189)
     num_clamped: jnp.ndarray  # scalar int32 — splats whose tile rect exceeded
     # the slot budget (coverage loss diagnostic; no reference counterpart)
-    clamped_ids: Optional[jnp.ndarray] = None  # (overflow_capacity,) u32
-    # compacted indices of clamped splats (0xFFFFFFFF sentinel tail) for the
-    # overflow pass; None unless requested
+    clamped_words: Optional[Tuple[jnp.ndarray, ...]] = None  # 6 x
+    # (overflow_capacity,) u32: compacted (rect4, w0..w3, depth_q) rows of
+    # clamped splats (rect4 == 0xFFFFFFFF sentinel tail) for the overflow
+    # pass; None unless requested
 
 
 class PreprocessPacked(NamedTuple):
@@ -534,10 +535,10 @@ def preprocess(
 
     overflow_capacity > 0 (slots emit only) switches the walk to pure
     row-major — so the overflow pass's ranks [tile_slots, overflow_slots)
-    complement the main pass exactly — and returns ``clamped_ids``: the
-    first overflow_capacity indices of visible splats with n_rect >
-    tile_slots (0xFFFFFFFF sentinel tail), mirroring the fused frontend's
-    compacted cid stream."""
+    complement the main pass exactly — and returns ``clamped_words``: the
+    first overflow_capacity visible splats with n_rect > tile_slots as
+    compacted 6-word rows (rect4, w0..w3, depth_q; rect4 == 0xFFFFFFFF
+    sentinel tail), mirroring the fused frontend's cid stream."""
     n = cloud.opacity.shape[0]
     tx_tiles, ty_tiles = config.tiles_for(width, height)
     tile_bits, depth_bits = config.key_bits(width, height)
@@ -624,12 +625,29 @@ def preprocess(
     keys = jnp.concatenate([keys, jnp.full((pad,), invalid_key, jnp.uint32)])
     payload = tuple(jnp.concatenate([w, jnp.zeros((pad,), jnp.uint32)]) for w in payload)
 
-    clamped_ids = None
+    clamped_words = None
     if overflow_capacity > 0:
+        if tx_tiles > 256 or ty_tiles > 256:
+            raise ValueError(
+                "overflow pass supports <=256 tiles per axis (rect4 packing);"
+                " disable overflow_capacity or enlarge tiles"
+            )
+        # 6-word clamped-splat stream, mirroring the fused frontend's cid
+        # stream: (rect4, w0..w3, depth_q) — overflow_emit decodes these
+        # instead of re-gathering the cloud (see its docstring)
         cmask = visible & (n_rect > slots)
         (ids,) = jnp.nonzero(cmask, size=overflow_capacity, fill_value=n)
-        clamped_ids = jnp.where(
-            ids >= n, jnp.uint32(0xFFFFFFFF), ids.astype(jnp.uint32)
+        ok = ids < n
+        gi = jnp.where(ok, ids, 0)
+        rect_all = pack_rect4(tx0, ty0, d["tx1"], d["ty1"])
+        take = lambda a, fill: jnp.where(ok, a[gi], jnp.uint32(fill))
+        clamped_words = (
+            take(rect_all, 0xFFFFFFFF),
+            take(w0, 0),
+            take(w1, 0),
+            take(w2, 0),
+            take(w3, 0),
+            take(depth_q, 0),
         )
 
     return PreprocessOut(
@@ -637,17 +655,40 @@ def preprocess(
         payload=payload,
         num_visible=jnp.sum(visible.astype(jnp.int32)),
         num_clamped=jnp.sum((visible & (n_rect > slots)).astype(jnp.int32)),
-        clamped_ids=clamped_ids,
+        clamped_words=clamped_words,
     )
 
 
-def reaches_of(d, gi, ts_x: float, ts_y: float):
-    """Rebuild core_math's ellipse-reaches-tile test on a gathered subset.
+def pack_rect4(tx0, ty0, tx1, ty1):
+    """Pack a clamped tile rect into one u32 (8 bits per field: tx0 | ty0<<8
+    | tx1<<16 | ty1<<24, <=256 tiles per axis).  The sentinel fill 0xFFFFFFFF
+    decodes to a 1x1 rect (w_t = h_t = 1, n_rect = 1 <= tile_slots), so
+    sentinel rows SELF-MASK in the overflow walk and grid stages — no
+    separate validity word.  A real splat can never collide: rect4 only ever
+    packs rects with n_rect > tile_slots >= 1."""
+    u = lambda x: x.astype(jnp.uint32)
+    return (
+        u(tx0)
+        | (u(ty0) << np.uint32(8))
+        | (u(tx1) << np.uint32(16))
+        | (u(ty1) << np.uint32(24))
+    )
 
-    ``gi`` indexes rows of the arrays behind ``d["reach_raw"]``; the returned
-    callable accepts broadcast-compatible tile-coord arrays whose TRAILING
-    axis matches gi (e.g. (n_tiles, g) vs per-splat (g,))."""
-    px, py, ha, hb, hc, a_max = (a[gi] for a in d["reach_raw"])
+
+def unpack_rect4(rect):
+    i = lambda x: x.astype(jnp.int32)
+    tx0 = i(rect & np.uint32(0xFF))
+    ty0 = i((rect >> np.uint32(8)) & np.uint32(0xFF))
+    tx1 = i((rect >> np.uint32(16)) & np.uint32(0xFF))
+    ty1 = i(rect >> np.uint32(24))
+    return tx0, ty0, tx1, ty1
+
+
+def make_reaches(px, py, ha, hb, hc, a_max, ts_x: float, ts_y: float):
+    """core_math's ellipse-reaches-tile test rebuilt from per-splat values
+    (decoded record or gathered subset).  The returned callable accepts
+    broadcast-compatible tile-coord arrays whose TRAILING axis matches the
+    per-splat arrays (e.g. (n_tiles, g) vs (g,))."""
 
     def rect_min_a(x0, x1, y0, y1):
         inside_r = (x0 <= 0.0) & (0.0 <= x1) & (y0 <= 0.0) & (0.0 <= y1)
@@ -676,23 +717,35 @@ def reaches_of(d, gi, ts_x: float, ts_y: float):
     return reaches
 
 
+def reaches_of(d, gi, ts_x: float, ts_y: float):
+    """make_reaches over a gathered subset of core_math's ``reach_raw``."""
+    px, py, ha, hb, hc, a_max = (a[gi] for a in d["reach_raw"])
+    return make_reaches(px, py, ha, hb, hc, a_max, ts_x, ts_y)
+
+
 def overflow_emit(
-    cloud: DeviceCloud,
-    camera: CameraParams,
-    settings: DeviceSettings,
-    clamped_ids,
+    cid_words,
     *,
     width: int,
     height: int,
     config: RasterConfig,
-    compressed: bool = False,
 ):
     """Emit the remaining rect tiles of CLAMPED splats (overflow pass).
 
-    ``clamped_ids`` is the fused frontend's compacted u32 prefix of global
-    indices of splats with n_rect > tile_slots (0xFFFFFFFF sentinel tail).
-    Gathers just those splats (<=overflow_capacity rows), re-runs core_math
-    on them, and emits in two stages:
+    ``cid_words`` is the frontend's compacted 6-word clamped-splat stream —
+    (rect4, w0, w1, w2, w3, depth_q), each (C,) u32 with sentinel tails
+    (rect4 = 0xFFFFFFFF, which self-masks: see pack_rect4) — carrying
+    everything this pass needs.  Earlier revisions carried only splat IDS
+    and re-gathered all 34 cloud input streams + re-ran core_math here;
+    the 34xC XLA gather alone cost ~2.2 ms/frame at bonsai scale.  The
+    packed record (w0..w3) is IDENTICAL for every instance of a splat, so
+    the frontend forwards it instead, and the only recomputed quantity is
+    the reach cull, decoded from the record itself (the same f16/u16 values
+    the rasterizer blends with — exact px/py are unavailable, but a
+    boundary-tile flip at the quantization scale changes contributions only
+    below the 2*CUTOFF discard).
+
+    Two stages:
 
     1. WALK stage — row-major rect-walk ranks [tile_slots, overflow_slots);
        the main pass emitted ranks [0, tile_slots) row-major, so the union
@@ -714,41 +767,47 @@ def overflow_emit(
     the grid capacity (splats that still lost tiles).
     """
     invalid = jnp.uint32(0xFFFFFFFF)
-    valid = clamped_ids != invalid
-    idx = jnp.where(valid, clamped_ids, 0).astype(jnp.int32)
-    big = jnp.float32(3.0e38)
-    # padding lanes gather row 0 but are forced off-frustum -> invisible
-    pos = tuple(
-        jnp.where(valid, cloud.xyz[i][idx], big) for i in range(3)
-    )
-    cov6 = tuple(cloud.cov[i][idx] for i in range(6))
-    opacity = cloud.opacity[idx]
-    sh_rows = tuple(cloud.sh[i][idx] for i in range(24))
-
+    rect, w0, w1, w2, w3, depth_q = cid_words
+    c = rect.shape[0]
     tx_tiles, ty_tiles = config.tiles_for(width, height)
     _, depth_bits = config.key_bits(width, height)
-    view, proj, cam_pos, focal, st = scalars_from_pytrees(camera, settings)
-    d = core_math(
-        pos, cov6, opacity, sh_rows, view, proj, cam_pos, focal, st,
-        width=width, height=height, config=config, compressed=compressed,
-    )
-    w0, w1, w2, w3 = d["words"]
-    depth_q = d["depth_q"]
 
-    keys_slots = []
-    for j, slot_ok, tile in iter_slots(
-        d, config.overflow_slots, tx_tiles, center_out=False
-    ):
-        if j < config.tile_slots:
-            continue
-        keys_slots.append(
-            jnp.where(
-                slot_ok,
-                (tile.astype(jnp.uint32) << np.uint32(depth_bits)) | depth_q,
-                invalid,
-            )
+    tx0, ty0, tx1, ty1 = unpack_rect4(rect)
+    w_t = tx1 - tx0 + 1
+    h_t = ty1 - ty0 + 1
+    n_rect = w_t * h_t  # sentinel rows decode to n_rect == 1 (self-masking)
+
+    # reach cull decoded from the record (exactly what the rasterizer sees)
+    cq = packing.CenterQuant.for_viewport(width, height)
+    px, py, half_a, conic_b, half_c, opacity, _, _, _ = packing.unpack_record(
+        w0, w1, w2, w3, cq
+    )
+    thr = float(config.alpha_threshold)
+    if thr > 0.0:
+        a_max = jnp.minimum(
+            2.0 * CUTOFF,
+            jnp.log(jnp.maximum(opacity, 1e-30) * (1.0 / thr)),
         )
-    c = clamped_ids.shape[0]
+    else:
+        a_max = jnp.full_like(opacity, 2.0 * CUTOFF)
+    reaches = make_reaches(
+        px, py, half_a, conic_b, half_c, a_max, config.tile_w, config.tile_h
+    )
+
+    # ---- WALK stage: row-major ranks [tile_slots, overflow_slots) ----
+    # Runs in XLA (not Mosaic), so per-lane integer division is available
+    # and the rank -> (dx, dy) map needs no incremental carry walk.
+    keys_slots = []
+    for j in range(config.tile_slots, config.overflow_slots):
+        dy = j // w_t
+        dx = j - dy * w_t
+        tx = tx0 + dx
+        ty = ty0 + dy
+        ok = (j < n_rect) & reaches(tx, ty)
+        tile = (ty * tx_tiles + tx).astype(jnp.uint32)
+        keys_slots.append(
+            jnp.where(ok, (tile << np.uint32(depth_bits)) | depth_q, invalid)
+        )
     k2 = len(keys_slots)
     keys = jnp.stack(keys_slots, axis=0).reshape(-1)
     words = tuple(
@@ -758,7 +817,7 @@ def overflow_emit(
 
     # ---- GRID stage: giant splats (n_rect > overflow_slots) ----
     g = int(config.overflow_grid_capacity)
-    gmask = d["visible"] & (d["n_rect"] > config.overflow_slots)
+    gmask = n_rect > config.overflow_slots
     n_giant = jnp.sum(gmask.astype(jnp.int32))
     residual = jnp.maximum(n_giant - g, 0)
     if g > 0:
@@ -766,11 +825,15 @@ def overflow_emit(
         gvalid = gids < c
         gi = jnp.where(gvalid, gids, 0)
         # per-giant row data (all shapes (g,))
-        tx0g, tx1g = d["tx0"][gi], d["tx1"][gi]
-        ty0g, ty1g = d["ty0"][gi], d["ty1"][gi]
-        wtg = d["w_t"][gi]
-        dqg, visg = depth_q[gi], d["visible"][gi] & gvalid
+        tx0g, tx1g = tx0[gi], tx1[gi]
+        ty0g, ty1g = ty0[gi], ty1[gi]
+        wtg = w_t[gi]
+        dqg, visg = depth_q[gi], gvalid
         wg = tuple(w[gi] for w in (w0, w1, w2, w3))
+        greaches = make_reaches(
+            px[gi], py[gi], half_a[gi], conic_b[gi], half_c[gi], a_max[gi],
+            config.tile_w, config.tile_h,
+        )
         # dense (n_tiles, g) emission: tile axis FIRST so the captured
         # per-splat (g,) arrays broadcast along the trailing axis
         n_tiles = tx_tiles * ty_tiles
@@ -785,7 +848,7 @@ def overflow_emit(
         rank = (tty - ty0g) * wtg + (ttx - tx0g)
         ok = (
             visg & in_rect & (rank >= config.overflow_slots)
-            & reaches_of(d, gi, config.tile_w, config.tile_h)(ttx, tty)
+            & greaches(ttx, tty)
         )
         gkeys = jnp.where(
             ok,

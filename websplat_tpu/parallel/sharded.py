@@ -126,13 +126,13 @@ def make_splat_sharded_renderer(
             n_loc = cloud.opacity.shape[0]
             capacity = max(4096, int(config.instance_capacity_factor * n_loc))
             if overflow:
-                (keys, payload, nvis, _, _, _, clamped_ids, _) = fused_frontend(
+                (keys, payload, nvis, _, _, _, cid_words, _) = fused_frontend(
                     cloud, camera, settings, width=width, height=height,
                     config=config, compressed=compressed, capacity=capacity,
                     capacity_c=config.overflow_capacity_for(n_loc),
                 )
             else:
-                clamped_ids = None
+                cid_words = None
                 keys, payload, nvis, _, _, _ = fused_frontend(
                     cloud, camera, settings, width=width, height=height,
                     config=config, compressed=compressed, capacity=capacity,
@@ -148,7 +148,7 @@ def make_splat_sharded_renderer(
                 ),
             )
             keys, payload = pre.keys, pre.payload
-            clamped_ids = pre.clamped_ids
+            cid_words = pre.clamped_words
             num_visible_local = pre.num_visible
         if overflow:
             # full-coverage parity with the single-chip renderer: append the
@@ -156,16 +156,14 @@ def make_splat_sharded_renderer(
             from websplat_tpu.ops.preprocess import overflow_emit
 
             okeys, owords, _resid = overflow_emit(
-                cloud, camera, settings, clamped_ids,
-                width=width, height=height, config=config,
-                compressed=compressed,
+                cid_words, width=width, height=height, config=config,
             )
             if okeys.shape[0] > 65536 and pallas_ok:
                 from websplat_tpu.ops.compact_pallas import (
                     compact_instances as _ci,
                 )
 
-                ocap = min(clamped_ids.shape[0] * 16, okeys.shape[0])
+                ocap = min(cid_words[0].shape[0] * 16, okeys.shape[0])
                 okeys, owords, _, _ = _ci(okeys, owords, capacity=ocap)
             keys = jnp.concatenate([keys, okeys])
             payload = tuple(

@@ -186,7 +186,7 @@ def render_frame_impl(
         overflow = config.overflow_enabled
         if overflow:
             (keys, payload, num_visible, num_clamped, num_valid, num_dropped,
-             clamped_ids, _n_cid) = fused_frontend(
+             cid_words, _n_cid) = fused_frontend(
                 cloud, camera, settings, width=width, height=height,
                 config=config, compressed=compressed, capacity=capacity,
                 capacity_c=config.overflow_capacity_for(n),
@@ -208,9 +208,7 @@ def render_frame_impl(
             from websplat_tpu.ops.preprocess import overflow_emit
 
             okeys, owords, num_clamped_resid = overflow_emit(
-                cloud, camera, settings, clamped_ids,
-                width=width, height=height, config=config,
-                compressed=compressed,
+                cid_words, width=width, height=height, config=config,
             )
             o_count = None
             if okeys.shape[0] > 65536 and pallas_ok:
@@ -223,7 +221,7 @@ def render_frame_impl(
                     compact_instances as _ci,
                 )
 
-                ocap = min(clamped_ids.shape[0] * 16, okeys.shape[0])
+                ocap = min(cid_words[0].shape[0] * 16, okeys.shape[0])
                 o_src_blocks = -(-okeys.shape[0] // _CBLOCK)
                 okeys, owords, o_count, o_dropped = _ci(
                     okeys, owords, capacity=ocap
@@ -279,9 +277,7 @@ def render_frame_impl(
             from websplat_tpu.ops.preprocess import overflow_emit
 
             okeys, owords, _resid = overflow_emit(
-                cloud, camera, settings, pre.clamped_ids,
-                width=width, height=height, config=config,
-                compressed=compressed,
+                pre.clamped_words, width=width, height=height, config=config,
             )
             keys = jnp.concatenate([keys, okeys])
             payload = tuple(
