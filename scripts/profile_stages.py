@@ -92,6 +92,8 @@ def main():
         overrides["tile_w"], overrides["tile_h"] = int(tw), int(th)
     if os.environ.get("WS_ALPHA"):
         overrides["alpha_threshold"] = float(os.environ["WS_ALPHA"])
+    if os.environ.get("WS_OVERFLOW"):
+        overrides["overflow_capacity"] = int(os.environ["WS_OVERFLOW"])
     if os.environ.get("WS_MXU_PREC"):
         overrides["mxu_precision"] = os.environ["WS_MXU_PREC"]
     config = RasterConfig(**overrides)

@@ -48,6 +48,9 @@ def main():
         ("scan/monomial", RasterConfig(composite="scan", qform="monomial")),
         ("alpha=1/255", RasterConfig(alpha_threshold=1.0 / 255.0)),
         ("alpha=1/512", RasterConfig(alpha_threshold=1.0 / 512.0)),
+        ("mxu/highest", RasterConfig(composite="mxu", mxu_precision="highest")),
+        ("mxu/high", RasterConfig(composite="mxu", mxu_precision="high")),
+        ("mxu/default", RasterConfig(composite="mxu", mxu_precision="default")),
     ]
     seen = {}
     results = []

@@ -113,6 +113,12 @@ def main():
         variants = [("scan", "monomial"), ("mxu", "default"),
                     ("mxu", "high"), ("mxu", "highest")]
         tune = [(None, None)]
+    elif "--mxuskip" in sys.argv:
+        # per-slab lax.cond (group_skip) serializes the 8 slab instruction
+        # streams; measure the skip-free kernel (second element = skip mode)
+        shapes = [(32, 32)]
+        variants = [("mxu", "skip"), ("mxu", "noskip")]
+        tune = [(None, None)]
     else:
         shapes = [(32, 16), (16, 16), (32, 8), (16, 8), (64, 8), (32, 32)]
         variants = [("tree", "direct"), ("scan", "direct"),
@@ -133,7 +139,10 @@ def main():
         for (composite, qform), (sk, gb) in [
             (v, t) for v in variants for t in tune
         ]:
-            if composite == "mxu":
+            if composite == "mxu" and qform in ("skip", "noskip"):
+                over = dict(composite="mxu", mxu_precision="default",
+                            group_skip=(qform == "skip"))
+            elif composite == "mxu":
                 over = dict(composite="mxu", mxu_precision=qform)
             else:
                 over = dict(composite=composite, qform=qform)

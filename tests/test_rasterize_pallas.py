@@ -155,7 +155,7 @@ def test_band_skipping_bit_exact(rng):
 @pytest.mark.parametrize(
     "composite,qform",
     [("scan", "monomial"), ("tree", "monomial"), ("scan", "direct"),
-     ("mxu", "monomial")],
+     ("mxu", "monomial"), ("hybrid", "monomial")],
 )
 def test_inner_loop_variants_agree(rng, composite, qform):
     """The rasterizer's inner-loop math variants (config.composite/qform)

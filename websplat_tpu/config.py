@@ -134,6 +134,11 @@ class RasterConfig:
     #   form, the (log-space) transmittance prefix and the color
     #   accumulation all run as MXU contractions over 128-splat slabs
     #   (rasterize_pallas._make_kernel_mxu); qform is ignored.
+    # - composite "hybrid": the slab kernel rebalanced — exact-f32 VPU
+    #   quadratic form (the MXU pads its k=6 contraction to a full tile
+    #   volume anyway), transmittance prefix + colors on the MXU as 2-pass
+    #   exact-split bf16 matmuls (~2^-17 residual; see _make_kernel_mxu).
+    #   qform/mxu_precision are ignored.
     # Defaults: scan/monomial, TPU-measured 2026-08-18 — 9.11 vs 12.70 ms
     # (tree/direct) at 32x32 bonsai scale; the win holds at every tile
     # shape swept (scripts/sweep_raster.py).

@@ -105,6 +105,7 @@ def _make_kernel_mxu(
     cq: packing.CenterQuant,
     group_skip: bool = True,
     precision: str = "highest",
+    hybrid: bool = False,
 ):
     """MXU-structured rasterizer body (composite="mxu").
 
@@ -134,6 +135,25 @@ def _make_kernel_mxu(
     need ~1e-4 absolute, see the monomial variant's cancellation analysis);
     `precision` selects the f32-emulation pass count for all three matmuls
     ("default" 1-pass bf16 / "high" 3-pass / "highest" 6-pass ~= true f32).
+
+    ``hybrid=True`` (composite="hybrid") rebalances the slab design across
+    the two units by where each is strong.  Every matmul here pads to the
+    same (128, 128, P) MXU tile volume regardless of its nominal size
+    (qform k=6 and colors m=8 both round up), so the MXU assignment is
+    chosen by PASS COUNT, not FLOP count — and the quadratic form, whose
+    magnitude spread (terms ~1e4 vs 1e-4 error budget) would need 3-4
+    de-emulation passes on the MXU, goes back to the VPU as 6 exact-f32
+    broadcast FMAs against (128, 1) per-splat coefficient columns (one
+    (8, 128) -> (128, 8) transpose per chunk).  The transmittance prefix
+    and the color accumulation stay on the MXU with a 2-pass exact split
+    each: the 0/1 triangular matrix is bf16-EXACT, so splitting only the
+    loga operand (hi = bf16(x), lo = bf16(x - hi)) leaves a ~2^-17 relative
+    residual — f32-grade — at 2 passes instead of lax's 6 ("highest" splits
+    both operands three ways); colors split both operands once (3 passes,
+    lo.lo dropped — a single bf16 rounding of either operand alone is a
+    ~2e-3 image error, measured).  Net per-pair work: ~13 VPU ops + 5 MXU
+    volumes, vs the scan composite's ~24 VPU ops and mxu/"highest"'s 18
+    volumes.
     Order of blending is bit-identical to the other variants (same sorted
     stream, same front-to-back semantics); alpha math matches the monomial
     variant, the composite differs only by the exp/log round-trip (|cum| <=
@@ -178,7 +198,29 @@ def _make_kernel_mxu(
         # prefix sum along the 128-splat depth axis)
         li = lax.broadcasted_iota(jnp.int32, (128, 128), 0)
         lj = lax.broadcasted_iota(jnp.int32, (128, 128), 1)
-        l_strict = (lj < li).astype(jnp.float32)
+        l_strict = (lj < li).astype(jnp.bfloat16 if hybrid else jnp.float32)
+
+        def _split(x):
+            hi = x.astype(jnp.bfloat16)
+            return hi, (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def _dbf(a, b):
+            return lax.dot_general(
+                a, b, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        def dot2(lhs_bf, x):
+            # 2-pass exact-split matmul: lhs is bf16-EXACT (the 0/1
+            # triangular); splitting x leaves a ~2^-17 relative residual
+            hi, lo = _split(x)
+            return _dbf(lhs_bf, hi) + _dbf(lhs_bf, lo)
+
+        def dot3(lhs, x):
+            # 3-pass split of BOTH operands (lo.lo dropped, ~2^-17 residual)
+            lh, ll = _split(lhs)
+            hi, lo = _split(x)
+            return _dbf(lh, hi) + (_dbf(lh, lo) + _dbf(ll, hi))
 
         chunk0 = lax.div(start, CHUNK)
         # see the VPU kernel: empty tiles MUST yield n_chunks == 0 (the
@@ -289,6 +331,10 @@ def _make_kernel_mxu(
             t5_g = jnp.where(live, logop - jnp.float32(2.0 * CUTOFF), z)
             # one small transpose per chunk: per-splat threshold columns
             t5_t = jnp.transpose(t5_g, (1, 0))  # (128, 8)
+            if hybrid:
+                # per-splat coefficient COLUMNS for the VPU quadratic form
+                # (6 small transposes per chunk, amortized over 8 slabs)
+                ct = [jnp.transpose(c, (1, 0)) for c in coef_rows]
 
             def slab(r, state):
                 acc_, clog = state
@@ -298,20 +344,36 @@ def _make_kernel_mxu(
                     y = pltpu.roll(x, shift=shift, axis=0) if shift else x
                     return y[0:1, :]
 
-                c6 = jnp.concatenate([row(c) for c in coef_rows], axis=0)
-                # (128, P) = contraction over the 6 monomials; splats are
-                # SUBLANES in depth order (lanes of raw row r)
-                na = lax.dot_general(
-                    c6, m6, (((0,), (0,)), ((), ())), precision=prec
-                )
+                if hybrid:
+                    # exact-f32 quadratic form on the VPU: 6 broadcast FMAs
+                    # of (128, 1) per-splat coefficients against the (1, P)
+                    # tile monomials (rows of m6)
+                    na = (
+                        ct[0][:, r : r + 1] * m6[0:1, :]
+                        + ct[1][:, r : r + 1] * m6[1:2, :]
+                        + ct[2][:, r : r + 1] * m6[2:3, :]
+                        + ct[3][:, r : r + 1] * m6[3:4, :]
+                        + ct[4][:, r : r + 1] * m6[4:5, :]
+                        + ct[5][:, r : r + 1] * m6[5:6, :]
+                    )
+                else:
+                    c6 = jnp.concatenate([row(c) for c in coef_rows], axis=0)
+                    # (128, P) = contraction over the 6 monomials; splats are
+                    # SUBLANES in depth order (lanes of raw row r)
+                    na = lax.dot_general(
+                        c6, m6, (((0,), (0,)), ((), ())), precision=prec
+                    )
                 t5_col = t5_t[:, r : r + 1]  # (128, 1)
                 alpha = jnp.where(
                     na > t5_col, jnp.minimum(0.99, jnp.exp(na)), 0.0
                 )
                 loga = jnp.log1p(-alpha)  # 0 on dead lanes (alpha == 0)
-                cum = lax.dot_general(
-                    l_strict, loga, (((1,), (0,)), ((), ())), precision=prec
-                )
+                if hybrid:
+                    cum = dot2(l_strict, loga)
+                else:
+                    cum = lax.dot_general(
+                        l_strict, loga, (((1,), (0,)), ((), ())), precision=prec
+                    )
                 w_ = alpha * jnp.exp(cum + clog)
                 # (8, 128) lhs: rgb rows 0-2 + five zero rows (sublane-dim
                 # padding keeps the accumulator roll-extractable at 8 rows)
@@ -320,9 +382,12 @@ def _make_kernel_mxu(
                      jnp.zeros((5, 128), jnp.float32)],
                     axis=0,
                 )
-                acc_ = acc_ + lax.dot_general(
-                    rgb8, w_, (((1,), (0,)), ((), ())), precision=prec
-                )
+                if hybrid:
+                    acc_ = acc_ + dot3(rgb8, w_)
+                else:
+                    acc_ = acc_ + lax.dot_general(
+                        rgb8, w_, (((1,), (0,)), ((), ())), precision=prec
+                    )
                 clog = clog + jnp.sum(loga, axis=0, keepdims=True)
                 return acc_, clog
 
@@ -402,9 +467,9 @@ def _make_kernel(
     qform: str = "monomial",
     mxu_precision: str = "highest",
 ):
-    if composite == "mxu":
+    if composite in ("mxu", "hybrid"):
         if y_bands != 1:
-            raise ValueError("composite='mxu' supports y_bands=1 only")
+            raise ValueError(f"composite={composite!r} supports y_bands=1 only")
         return _make_kernel_mxu(
             num_tiles_x=num_tiles_x,
             tile_w=tile_w,
@@ -413,6 +478,7 @@ def _make_kernel(
             cq=cq,
             group_skip=group_skip,
             precision=mxu_precision,
+            hybrid=(composite == "hybrid"),
         )
     if composite not in ("tree", "scan"):
         raise ValueError(f"unknown composite: {composite!r}")
