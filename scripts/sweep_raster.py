@@ -115,9 +115,10 @@ def main():
         tune = [(None, None)]
     elif "--mxuskip" in sys.argv:
         # per-slab lax.cond (group_skip) serializes the 8 slab instruction
-        # streams; measure the skip-free kernel (second element = skip mode)
+        # streams; measure the skip-free kernels (second element = skip mode)
         shapes = [(32, 32)]
-        variants = [("mxu", "skip"), ("mxu", "noskip")]
+        variants = [("scan", "monomial"), ("mxu", "skip"), ("mxu", "noskip"),
+                    ("hybrid", "skip"), ("hybrid", "noskip")]
         tune = [(None, None)]
     else:
         shapes = [(32, 16), (16, 16), (32, 8), (16, 8), (64, 8), (32, 32)]
@@ -139,9 +140,11 @@ def main():
         for (composite, qform), (sk, gb) in [
             (v, t) for v in variants for t in tune
         ]:
-            if composite == "mxu" and qform in ("skip", "noskip"):
-                over = dict(composite="mxu", mxu_precision="default",
+            if composite in ("mxu", "hybrid") and qform in ("skip", "noskip"):
+                over = dict(composite=composite, mxu_precision="default",
                             group_skip=(qform == "skip"))
+            elif composite == "hybrid":
+                over = dict(composite="hybrid")
             elif composite == "mxu":
                 over = dict(composite="mxu", mxu_precision=qform)
             else:

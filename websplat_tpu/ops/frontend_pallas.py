@@ -372,7 +372,7 @@ def _make_kernel(
     jax.jit,
     static_argnames=(
         "width", "height", "config", "compressed", "capacity", "capacity_c",
-        "interpret"
+        "splice_pad", "interpret"
     ),
 )
 def fused_frontend(
@@ -386,6 +386,7 @@ def fused_frontend(
     compressed: bool = False,
     capacity: int,
     capacity_c: int = 0,
+    splice_pad: int = 0,
     interpret: bool = False,
 ):
     """cloud -> (keys, payload4, num_visible, num_clamped, num_valid,
@@ -394,7 +395,16 @@ def fused_frontend(
     capacity_c > 0 additionally returns (cid_words, num_clamped_ids):
     a compacted 6-word-per-row stream (rect4, w0..w3, depth_q) of clamped
     splats (rect4 == 0xFFFFFFFF sentinel tail), consumed directly by the
-    renderer's overflow pass (ops/preprocess.py:overflow_emit)."""
+    renderer's overflow pass (ops/preprocess.py:overflow_emit).
+
+    ``splice_pad`` (static) extends the five stream outputs by that many
+    rows of headroom the kernel never writes, so the renderer's overflow
+    splice is a pure in-place dynamic_update_slice — without it the splice
+    pays jnp.concatenate's full-stream copy (~0.5 ms x 5 words at bonsai
+    scale).  Keys in the headroom are sentinel-masked here; payload
+    headroom stays uninitialized, which the rasterizer already tolerates
+    anywhere past the last valid instance (span masks are written to
+    reject NaN/garbage decodes — see rasterize_pallas.py)."""
     n = cloud.opacity.shape[0]
     slots = config.tile_slots
     tx_tiles, ty_tiles = config.tiles_for(width, height)
@@ -459,9 +469,9 @@ def fused_frontend(
     out_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 5 + [
         pl.BlockSpec((1, 128), lambda s, scal: (0, 0), memory_space=pltpu.VMEM)
     ]
-    out_shapes = [jax.ShapeDtypeStruct((capacity_pad,), jnp.uint32)] * 5 + [
-        jax.ShapeDtypeStruct((1, 128), jnp.int32)
-    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((capacity_pad + splice_pad,), jnp.uint32)
+    ] * 5 + [jax.ShapeDtypeStruct((1, 128), jnp.int32)]
     if with_cid:
         out_specs.extend([pl.BlockSpec(memory_space=pl.ANY)] * CID_W)
         out_shapes.extend(
@@ -502,7 +512,7 @@ def fused_frontend(
     num_clamped = stats[0, 3]
     num_dropped = jnp.maximum(0, total - limit)
 
-    cap_iota = jnp.arange(capacity_pad, dtype=jnp.int32)
+    cap_iota = jnp.arange(capacity_pad + splice_pad, dtype=jnp.int32)
     tail = cap_iota >= jnp.minimum(total, limit)
     keys = jnp.where(tail, jnp.uint32(INVALID_KEY), keys)
     out = (keys, (w0, w1, w2, w3), num_visible, num_clamped, num_valid,

@@ -184,12 +184,33 @@ def render_frame_impl(
         n = cloud.opacity.shape[0]
         capacity = max(4096, int(config.instance_capacity_factor * n))
         overflow = config.overflow_enabled
+        cs = config.chunk_size
         if overflow:
+            # static size of the overflow candidate stream (mirrors
+            # overflow_emit + the compaction decision below) so the frontend
+            # can allocate splice headroom in its own outputs — the splice
+            # is then a pure in-place dynamic_update_slice instead of a
+            # concatenate copy of all five full-capacity words
+            cap_c = config.overflow_capacity_for(n)
+            o_raw = (config.overflow_slots - config.tile_slots) * cap_c
+            if config.overflow_grid_capacity > 0:
+                o_raw += tx_tiles * ty_tiles * config.overflow_grid_capacity
+            o_compact = o_raw > 65536 and pallas_ok
+            if o_compact:
+                # the compactor pads its output to a block multiple + one
+                # block (ops/compact_pallas.py:compact_instances)
+                from websplat_tpu.ops.compact_pallas import BLOCK as _CBLK
+
+                ocap = min(cap_c * 16, o_raw)
+                b = -(-ocap // _CBLK) * _CBLK + _CBLK
+            else:
+                b = o_raw
+            ext = (-(-b // cs) + 1) * cs
             (keys, payload, num_visible, num_clamped, num_valid, num_dropped,
              cid_words, _n_cid) = fused_frontend(
                 cloud, camera, settings, width=width, height=height,
                 config=config, compressed=compressed, capacity=capacity,
-                capacity_c=config.overflow_capacity_for(n),
+                capacity_c=cap_c, splice_pad=ext,
             )
         else:
             keys, payload, num_visible, num_clamped, num_valid, num_dropped = (
@@ -210,8 +231,9 @@ def render_frame_impl(
             okeys, owords, num_clamped_resid = overflow_emit(
                 cid_words, width=width, height=height, config=config,
             )
+            assert okeys.shape[0] == o_raw, (okeys.shape, o_raw)
             o_count = None
-            if okeys.shape[0] > 65536 and pallas_ok:
+            if o_compact:
                 # the overflow candidate stream is mostly holes (capacity x
                 # (overflow_slots - tile_slots) slots for ~capacity x ~6 real
                 # tiles); compact it before splicing so the sort pays for
@@ -221,27 +243,19 @@ def render_frame_impl(
                     compact_instances as _ci,
                 )
 
-                ocap = min(cid_words[0].shape[0] * 16, okeys.shape[0])
                 o_src_blocks = -(-okeys.shape[0] // _CBLOCK)
                 okeys, owords, o_count, o_dropped = _ci(
                     okeys, owords, capacity=ocap
                 )
                 num_dropped = num_dropped + o_dropped
-            b = okeys.shape[0]
-            # extend by b rounded to the chunk grain + one spare chunk: the
-            # Pallas rasterizer requires a chunk-multiple stream with at
-            # least chunk_size sentinel headroom past the last instance
-            cs = config.chunk_size
-            ext = (-(-b // cs) + 1) * cs
-            pad_i = jnp.full((ext,), jnp.uint32(0xFFFFFFFF))
-            keys = lax.dynamic_update_slice(
-                jnp.concatenate([keys, pad_i]), okeys, (n_valid,)
-            )
+            assert okeys.shape[0] == b, (okeys.shape, b)
+            # splice in place: the frontend allocated `ext` rows of headroom
+            # past its capacity_pad (splice_pad above), so the stream stays
+            # chunk-multiple with >= chunk_size sentinel headroom past the
+            # last instance, with no concatenate copy
+            keys = lax.dynamic_update_slice(keys, okeys, (n_valid,))
             payload = tuple(
-                lax.dynamic_update_slice(
-                    jnp.concatenate([w, jnp.zeros((ext,), jnp.uint32)]),
-                    ow, (n_valid,),
-                )
+                lax.dynamic_update_slice(w, ow, (n_valid,))
                 for w, ow in zip(payload, owords)
             )
             # advance the sort-ladder prefix by the ACTUAL compacted count
