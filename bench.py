@@ -98,7 +98,9 @@ def run_one(cloud, sigma, sweep):
     unis = [CameraUniforms.from_camera(c, (WIDTH, HEIGHT)) for c in cams]
     settings = resolve_settings(SplattingArgs(), cloud)
 
-    config = RasterConfig()
+    # WS_* env overrides (RasterConfig.from_env) allow config experiments
+    # without editing the file; the defaults are the shipped configuration
+    config = RasterConfig.from_env()
     dc = upload_cloud(cloud)
     dcams = stack_cameras(unis)
     dset = settings_to_device(settings)

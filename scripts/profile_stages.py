@@ -73,30 +73,10 @@ def main():
     cam.fit_near_far(*cloud.aabb)
     uni = CameraUniforms.from_camera(cam, (width, height))
     settings = resolve_settings(SplattingArgs(), cloud)
-    # env overrides for quick post-measurement tuning sweeps:
-    #   WS_COMPOSITE=scan WS_QFORM=monomial WS_TILE=16x8 WS_SORT=u64 \
-    #   WS_SLOTS=8 python scripts/profile_stages.py
-    import os
-
-    overrides = {}
-    if os.environ.get("WS_COMPOSITE"):
-        overrides["composite"] = os.environ["WS_COMPOSITE"]
-    if os.environ.get("WS_QFORM"):
-        overrides["qform"] = os.environ["WS_QFORM"]
-    if os.environ.get("WS_SORT"):
-        overrides["sort_backend"] = os.environ["WS_SORT"]
-    if os.environ.get("WS_SLOTS"):
-        overrides["tile_slots"] = int(os.environ["WS_SLOTS"])
-    if os.environ.get("WS_TILE"):
-        tw, th = os.environ["WS_TILE"].split("x")
-        overrides["tile_w"], overrides["tile_h"] = int(tw), int(th)
-    if os.environ.get("WS_ALPHA"):
-        overrides["alpha_threshold"] = float(os.environ["WS_ALPHA"])
-    if os.environ.get("WS_OVERFLOW"):
-        overrides["overflow_capacity"] = int(os.environ["WS_OVERFLOW"])
-    if os.environ.get("WS_MXU_PREC"):
-        overrides["mxu_precision"] = os.environ["WS_MXU_PREC"]
-    config = RasterConfig(**overrides)
+    # env overrides for quick post-measurement tuning sweeps, e.g.
+    #   WS_COMPOSITE=scan WS_TILE=16x8 WS_SLOTS=8 python scripts/profile_stages.py
+    # (full list: RasterConfig.from_env)
+    config = RasterConfig.from_env()
 
     dc = upload_cloud(cloud)
     dcam = camera_to_device(uni)

@@ -46,6 +46,10 @@ def main():
     variants = [
         ("defaults", RasterConfig()),
         ("scan/monomial", RasterConfig(composite="scan", qform="monomial")),
+        ("eps=1e-4", RasterConfig(transmittance_eps=1e-4)),
+        ("eps=2e-3", RasterConfig(transmittance_eps=2e-3)),
+        ("eps=4e-3", RasterConfig(transmittance_eps=4e-3)),
+        ("eps=1e-2", RasterConfig(transmittance_eps=1e-2)),
         ("alpha=1/255", RasterConfig(alpha_threshold=1.0 / 255.0)),
         ("alpha=1/512", RasterConfig(alpha_threshold=1.0 / 512.0)),
         ("mxu/highest", RasterConfig(composite="mxu", mxu_precision="highest")),

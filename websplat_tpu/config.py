@@ -93,8 +93,11 @@ class RasterConfig:
     # Early-termination threshold on transmittance.  The reference blends
     # every fragment back-to-front with no early out
     # (/root/reference/src/shaders/gaussian.wgsl:59-67); front-to-back with
-    # T < eps cutoff is mathematically identical up to eps.  0.0 disables.
-    transmittance_eps: float = 1e-4
+    # T < eps cutoff is mathematically identical up to eps (the dropped
+    # tail contributes < eps per channel, i.e. a >=60 dB floor at 1e-3).
+    # 0.0 disables.  Measured (TPU, bonsai bench): 1e-4 -> 50.7 FPS,
+    # 1e-3 -> 54.6 FPS via earlier segment-saturation exits.
+    transmittance_eps: float = 1e-3
 
     # Skip blending for 8-splat groups with no contribution (branchy but
     # saves work in sparse tiles).
@@ -174,6 +177,39 @@ class RasterConfig:
     # Static cap on per-tile splat count used ONLY by the XLA fallback
     # rasterizer (the Pallas kernel has no cap; it loops the true range).
     xla_max_per_tile: int = 2048
+
+    @classmethod
+    def from_env(cls, **overrides) -> "RasterConfig":
+        """RasterConfig with WS_* environment overrides applied on top of
+        ``overrides`` — the measurement scripts' shared tuning hook
+        (scripts/profile_stages.py, bench.py):
+
+          WS_COMPOSITE / WS_QFORM / WS_SORT / WS_MXU_PREC   (strings)
+          WS_TILE=WxH  WS_SLOTS / WS_OVERFLOW / WS_OSLOTS   (ints)
+          WS_ALPHA / WS_EPS                                 (floats)
+        """
+        import os
+
+        env = {
+            "composite": os.environ.get("WS_COMPOSITE"),
+            "qform": os.environ.get("WS_QFORM"),
+            "sort_backend": os.environ.get("WS_SORT"),
+            "mxu_precision": os.environ.get("WS_MXU_PREC"),
+        }
+        overrides.update({k: v for k, v in env.items() if v})
+        if os.environ.get("WS_TILE"):
+            tw, th = os.environ["WS_TILE"].split("x")
+            overrides["tile_w"], overrides["tile_h"] = int(tw), int(th)
+        for var, field, cast in (
+            ("WS_SLOTS", "tile_slots", int),
+            ("WS_OVERFLOW", "overflow_capacity", int),
+            ("WS_OSLOTS", "overflow_slots", int),
+            ("WS_ALPHA", "alpha_threshold", float),
+            ("WS_EPS", "transmittance_eps", float),
+        ):
+            if os.environ.get(var):
+                overrides[field] = cast(os.environ[var])
+        return cls(**overrides)
 
     @classmethod
     def for_backend(cls, **overrides) -> "RasterConfig":

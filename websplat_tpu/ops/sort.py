@@ -85,6 +85,9 @@ def _ladder_sort(ops, n_valid):
     m = int(ops[0].shape[0])
     if n_valid is None or m < (1 << 17):
         return lax.sort(ops, num_keys=1, is_stable=False)
+    # eighth-rungs: sixteenths were measured (TPU, bonsai bench) a wash
+    # (50.71 vs 50.8 FPS) for ~2x the sort-branch compile footprint, so the
+    # coarser ladder stays
     rungs = sorted({max(1, (m * k) // 8) for k in range(1, 8)} | {m})
 
     def branch(length):
