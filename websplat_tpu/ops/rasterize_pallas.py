@@ -165,11 +165,34 @@ def _make_kernel_mxu(
     sub = p // 128
     import os
     cross_tile = not os.environ.get("WS_NO_CROSS_TILE")
-    prec = {
-        "default": lax.Precision.DEFAULT,
-        "high": lax.Precision.HIGH,
-        "highest": lax.Precision.HIGHEST,
-    }[precision]
+    # Mosaic lowers only DEFAULT (1-pass bf16) and HIGHEST (6-pass) dot
+    # precisions; "high" (3-pass) is emulated by hand: split both operands
+    # into bf16 hi/lo and sum hi@hi + hi@lo + lo@hi (lo@lo dropped, ~2^-17
+    # residual) — the same arithmetic lax.Precision.HIGH would request.
+    if precision == "high":
+
+        def mmul(a, b, dims):
+            ah = a.astype(jnp.bfloat16)
+            al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+            bh = b.astype(jnp.bfloat16)
+            bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+            def d(x, y):
+                return lax.dot_general(
+                    x, y, (dims, ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            return d(ah, bh) + (d(ah, bl) + d(al, bh))
+
+    else:
+        prec = {
+            "default": lax.Precision.DEFAULT,
+            "highest": lax.Precision.HIGHEST,
+        }[precision]
+
+        def mmul(a, b, dims):
+            return lax.dot_general(a, b, (dims, ((), ())), precision=prec)
     # all-sentinel tails still saturate pixels in LOG space: log(eps) floor
     log_eps = float(np.log(eps)) if eps > 0.0 else -3.0e38
     NEG = -1.0e30  # python float: a jnp scalar here would be captured as a
@@ -360,9 +383,7 @@ def _make_kernel_mxu(
                     c6 = jnp.concatenate([row(c) for c in coef_rows], axis=0)
                     # (128, P) = contraction over the 6 monomials; splats are
                     # SUBLANES in depth order (lanes of raw row r)
-                    na = lax.dot_general(
-                        c6, m6, (((0,), (0,)), ((), ())), precision=prec
-                    )
+                    na = mmul(c6, m6, ((0,), (0,)))
                 t5_col = t5_t[:, r : r + 1]  # (128, 1)
                 alpha = jnp.where(
                     na > t5_col, jnp.minimum(0.99, jnp.exp(na)), 0.0
@@ -371,9 +392,7 @@ def _make_kernel_mxu(
                 if hybrid:
                     cum = dot2(l_strict, loga)
                 else:
-                    cum = lax.dot_general(
-                        l_strict, loga, (((1,), (0,)), ((), ())), precision=prec
-                    )
+                    cum = mmul(l_strict, loga, ((1,), (0,)))
                 w_ = alpha * jnp.exp(cum + clog)
                 # (8, 128) lhs: rgb rows 0-2 + five zero rows (sublane-dim
                 # padding keeps the accumulator roll-extractable at 8 rows)
@@ -385,9 +404,7 @@ def _make_kernel_mxu(
                 if hybrid:
                     acc_ = acc_ + dot3(rgb8, w_)
                 else:
-                    acc_ = acc_ + lax.dot_general(
-                        rgb8, w_, (((1,), (0,)), ((), ())), precision=prec
-                    )
+                    acc_ = acc_ + mmul(rgb8, w_, ((1,), (0,)))
                 clog = clog + jnp.sum(loga, axis=0, keepdims=True)
                 return acc_, clog
 

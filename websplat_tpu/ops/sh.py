@@ -50,12 +50,24 @@ def eval_sh(sh: jnp.ndarray, x, y, z, max_sh_deg):
     (preprocess.wgsl:257-258).
     """
 
+    import os
+
+    _ablate = os.environ.get("WS_SH_ABLATE", "")  # profiling only: "nodecode"
+    # skips the f16 decode (garbage colors, same dataflow), "flat" skips SH
+    # entirely — both bound the SH share of the frontend stage on hardware
+
     def coef(k):
         from websplat_tpu.ops.packing import f16_bits_to_f32
 
         row = sh[k // 2]
         bits = row if k % 2 == 0 else row >> np.uint32(16)
+        if _ablate == "nodecode":
+            return lax.bitcast_convert_type(bits, jnp.float32)
         return f16_bits_to_f32(bits)
+
+    if _ablate == "flat":
+        half = jnp.full_like(x, 0.5)
+        return half, half, half
 
     xx, yy, zz = x * x, y * y, z * z
     xy, yz, xz = x * y, y * z, x * z
