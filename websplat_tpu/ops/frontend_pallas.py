@@ -21,6 +21,7 @@ oracle-comparison tests and CPU fallbacks).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -34,6 +35,12 @@ from websplat_tpu.config import RasterConfig
 from websplat_tpu.ops.preprocess import DeviceCloud, CameraParams, DeviceSettings, core_math, iter_slots, pack_rect4, scalars_from_pytrees
 
 INVALID_KEY = np.uint32(0xFFFFFFFF)
+
+# Profiling decomposition only (scripts/, never production): "math" stops the
+# kernel after core_math (outputs kept live via an SMEM checksum), "keys"
+# additionally walks the slots and builds keys but skips compaction + DMA.
+# frontend(full) - frontend(keys) = the compaction/staging/write cost.
+_FRONT_ABLATE = os.environ.get("WS_FRONT_ABLATE", "")
 
 SPLATS = 16384  # splats per grid step ((128, 128) view); VMEM-bounded:
 # 34 input blocks x 64 KB x 2 (pipeline) + staging + math temporaries
@@ -245,8 +252,34 @@ def _make_kernel(
 
             state[cursor_idx] = total + cnt
 
-        for j, slot_ok, tile in iter_slots(
-            d, slots, tx_tiles, center_out=not with_cid
+        if _FRONT_ABLATE:
+            chk = depth_q
+            for w in words:
+                chk = chk + w
+            chk = (
+                chk
+                + d["tx0"].astype(jnp.uint32)
+                + d["ty0"].astype(jnp.uint32)
+                + d["n_rect"].astype(jnp.uint32)
+            )
+            if _FRONT_ABLATE == "keys":
+                for j, slot_ok, tile in iter_slots(
+                    d, slots, tx_tiles, center_out=not with_cid
+                ):
+                    key = jnp.where(
+                        slot_ok,
+                        (tile.astype(jnp.uint32) << np.uint32(depth_bits))
+                        | depth_q,
+                        jnp.uint32(INVALID_KEY),
+                    )
+                    state[1] = state[1] + jnp.sum(slot_ok.astype(jnp.int32))
+                    chk = chk + key
+            state[3] = state[3] + jnp.sum(chk.astype(jnp.int32))
+
+        for j, slot_ok, tile in (
+            iter_slots(d, slots, tx_tiles, center_out=not with_cid)
+            if not _FRONT_ABLATE
+            else ()
         ):
             ok = slot_ok.astype(jnp.int32)
             key = jnp.where(
@@ -279,7 +312,7 @@ def _make_kernel(
                 )
                 state[1] = state[1] + cnt
 
-        if with_cid:
+        if with_cid and not _FRONT_ABLATE:
             # clamped-splat record stream: (rect4, w0..w3, depth_q) of every
             # visible splat whose rect exceeds the slot budget, compacted
             # exactly like the instance stream (6-word units, own
