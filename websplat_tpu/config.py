@@ -167,8 +167,11 @@ class RasterConfig:
     # saves, so "xla" stays the default (a TRUE 3xu32 sort would be 2.86 ms,
     # but the 128-bit record cannot shrink to 2 words losslessly).  Other
     # measured alternatives lost outright: scatter-based radix is ~50 ms/M
-    # on TPU; batched row sorts are 4x faster per element but need a
-    # linear-time partition TPU lacks.
+    # on TPU; batched row sorts reach 0.76-0.9 ms/M at ~8-16k-element rows
+    # (~128 key-range regions at bonsai scale) but the only TPU partition
+    # primitive is per-region mask+compact, linear in region count (~1.4 ms
+    # per 8-way pass), so the partition eats the sort saving — full numbers
+    # in scripts/bench_sort.py:extra.
     sort_backend: str = "xla"
 
     # Rasterizer backend: "pallas" or "xla" (reference/debug fallback).
