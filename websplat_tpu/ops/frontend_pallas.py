@@ -45,6 +45,36 @@ _FRONT_ABLATE = os.environ.get("WS_FRONT_ABLATE", "")
 SPLATS = 16384  # splats per grid step ((128, 128) view); VMEM-bounded:
 # 34 input blocks x 64 KB x 2 (pipeline) + staging + math temporaries
 ROWS = SPLATS // 128
+N_FAT = 34  # attribute rows per splat: 3 xyz + 6 cov + 1 opacity + 24 sh
+
+
+def build_fat_stream(xyz, cov, opacity, sh) -> np.ndarray:
+    """Interleave the 34 column-major cloud rows into the fused frontend's
+    single-DMA-stream layout: (n_steps, 34, SPLATS) row-major, flattened.
+
+    Host-side numpy, run once at upload (renderer.upload_cloud).  Padding
+    matches fused_frontend's per-row convention exactly (positions +3e38 so
+    the frustum test culls pad splats; everything else zero), so the kernel's
+    math is bit-identical between the fat and 34-stream paths.
+    """
+    n = int(opacity.shape[0])
+    n_pad = -(-n // SPLATS) * SPLATS
+    n_steps = n_pad // SPLATS
+    out = np.empty((n_steps, N_FAT, SPLATS), np.uint32)
+
+    def put(i, row, fill, dtype):
+        buf = np.full((n_pad,), fill, dtype)
+        buf[:n] = np.asarray(row, dtype)
+        out[:, i, :] = buf.view(np.uint32).reshape(n_steps, SPLATS)
+
+    for i in range(3):
+        put(i, xyz[i], 3.0e38, np.float32)
+    for i in range(6):
+        put(3 + i, cov[i], 0.0, np.float32)
+    put(9, opacity, 0.0, np.float32)
+    for i in range(24):
+        put(10 + i, sh[i], 0, np.uint32)
+    return out.reshape(-1)
 LOG2 = int(np.log2(SPLATS))
 ALIGN = 1024  # rank-1 HBM slice offsets must be (8,128)-tile aligned
 # Staged write = one compacted unit plus the sub-ALIGN carry tile prepended
@@ -92,6 +122,7 @@ def _make_kernel(
     config: RasterConfig,
     compressed: bool,
     capacity_c_pad: int = 0,
+    fat_input: bool = False,
 ):
     # capacity_c_pad > 0 adds a compacted 6-WORD clamped-splat stream
     # (rect4, w0..w3, depth_q) for CLAMPED splats (visible & n_rect > slots),
@@ -103,14 +134,19 @@ def _make_kernel(
     with_cid = capacity_c_pad > 0
     CID_W = 6  # words per clamped-splat row
 
+    n_in = 1 if fat_input else 34
+
     def kernel(scal_ref, *refs):
-        # refs layout: 34 inputs; outputs (5 stream + stats [+ 6 cid]);
-        # scratch (5+6 staged, 5+6 carry, sems, smem)
-        ins = refs[:34]
+        # refs layout: n_in inputs (1 fat stream or 34 attribute rows);
+        # outputs (5 stream + stats [+ 6 cid]); scratch (5+6 staged,
+        # 5+6 carry, sems, smem)
+        ins = refs[:n_in]
         n_out = 6 + (CID_W if with_cid else 0)
-        keys_out, o0, o1, o2, o3, stats_out = refs[34:40]
-        cid_outs = refs[40 : 40 + CID_W] if with_cid else None
-        sc = 34 + n_out
+        keys_out, o0, o1, o2, o3, stats_out = refs[n_in : n_in + 6]
+        cid_outs = (
+            refs[n_in + 6 : n_in + 6 + CID_W] if with_cid else None
+        )
+        sc = n_in + n_out
         n_st = 5 + (CID_W if with_cid else 0)
         stages_all = refs[sc : sc + n_st]
         carries_all = refs[sc + n_st : sc + 2 * n_st]
@@ -126,13 +162,34 @@ def _make_kernel(
             for i in range(6):
                 state[i] = 0
 
-        def block(r):
-            return r[...].reshape(ROWS, 128)
+        if fat_input:
+            # one interleaved block: attribute row i of this grid step is the
+            # rank-1 slice [i*SPLATS, (i+1)*SPLATS) of the fat block (static
+            # 1024-aligned offsets; the (SPLATS,) <-> (ROWS, 128) reshape is
+            # layout-identity).  f32 rows decode by vector bitcast.
+            fat_ref = ins[0]
 
-        pos = (block(ins[0]), block(ins[1]), block(ins[2]))
-        cov6 = tuple(block(ins[3 + i]) for i in range(6))
-        opacity = block(ins[9])
-        sh_rows = tuple(block(ins[10 + i]) for i in range(24))
+            def stream_u32(i):
+                return fat_ref[i * SPLATS : (i + 1) * SPLATS].reshape(
+                    ROWS, 128
+                )
+
+            def stream_f32(i):
+                return pltpu.bitcast(stream_u32(i), jnp.float32)
+
+            pos = (stream_f32(0), stream_f32(1), stream_f32(2))
+            cov6 = tuple(stream_f32(3 + i) for i in range(6))
+            opacity = stream_f32(9)
+            sh_rows = tuple(stream_u32(10 + i) for i in range(24))
+        else:
+
+            def block(r):
+                return r[...].reshape(ROWS, 128)
+
+            pos = (block(ins[0]), block(ins[1]), block(ins[2]))
+            cov6 = tuple(block(ins[3 + i]) for i in range(6))
+            opacity = block(ins[9])
+            sh_rows = tuple(block(ins[10 + i]) for i in range(24))
 
         view = tuple(tuple(scal_ref[4 * i + j] for j in range(4)) for i in range(4))
         proj = tuple(
@@ -453,21 +510,33 @@ def fused_frontend(
     limit = capacity
     capacity_pad = -(-limit // ALIGN) * ALIGN + STAGE
 
-    def padded(x, fill=0.0):
-        if n_pad == n:
-            return x
-        return jnp.concatenate(
-            [x, jnp.full((n_pad - n,), fill, x.dtype)]
-        )
-
-    # padded splats: opacity stays 0 BUT culling must reject them — pad
-    # positions at +inf so the frustum test fails
-    inputs = (
-        [padded(cloud.xyz[i], np.float32(3.0e38)) for i in range(3)]
-        + [padded(cloud.cov[i]) for i in range(6)]
-        + [padded(cloud.opacity)]
-        + [padded(cloud.sh[i]) for i in range(24)]
+    # single interleaved input stream when the cloud carries the upload-time
+    # relayout (build_fat_stream); otherwise 34 per-attribute streams padded
+    # per-frame.  Identical bits either way — the kernel only differs in how
+    # the grid pipeline delivers them (1 DMA stream vs 34).
+    use_fat = (
+        cloud.fat is not None
+        and cloud.fat.shape[0] == n_steps * N_FAT * SPLATS
     )
+    if use_fat:
+        inputs = [cloud.fat]
+    else:
+
+        def padded(x, fill=0.0):
+            if n_pad == n:
+                return x
+            return jnp.concatenate(
+                [x, jnp.full((n_pad - n,), fill, x.dtype)]
+            )
+
+        # padded splats: opacity stays 0 BUT culling must reject them — pad
+        # positions at +inf so the frustum test fails
+        inputs = (
+            [padded(cloud.xyz[i], np.float32(3.0e38)) for i in range(3)]
+            + [padded(cloud.cov[i]) for i in range(6)]
+            + [padded(cloud.opacity)]
+            + [padded(cloud.sh[i]) for i in range(24)]
+        )
 
     view, proj, cam_pos, focal, st = scalars_from_pytrees(camera, settings)
     scal = jnp.stack(
@@ -498,6 +567,7 @@ def fused_frontend(
         config=config,
         compressed=compressed,
         capacity_c_pad=capacity_c_pad,
+        fat_input=use_fat,
     )
     out_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 5 + [
         pl.BlockSpec((1, 128), lambda s, scal: (0, 0), memory_space=pltpu.VMEM)
@@ -510,13 +580,23 @@ def fused_frontend(
         out_shapes.extend(
             [jax.ShapeDtypeStruct((capacity_c_pad,), jnp.uint32)] * CID_W
         )
+    if use_fat:
+        in_specs = [
+            pl.BlockSpec(
+                (N_FAT * SPLATS,), lambda s, scal: (s,),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+    else:
+        in_specs = [
+            pl.BlockSpec(
+                (SPLATS,), lambda s, scal: (s,), memory_space=pltpu.VMEM
+            )
+        ] * 34
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_steps,),
-        in_specs=[
-            pl.BlockSpec((SPLATS,), lambda s, scal: (s,), memory_space=pltpu.VMEM)
-        ]
-        * 34,
+        in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((STAGE,), jnp.uint32)] * n_streams
         + [pltpu.VMEM((ALIGN,), jnp.uint32)] * n_streams

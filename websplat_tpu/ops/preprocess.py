@@ -54,6 +54,13 @@ class DeviceCloud(NamedTuple):
     opacity: jnp.ndarray  # (N,) f32
     sh: jnp.ndarray  # (24, N) u32: f16 coefficient pairs, flat index
     # k = 3*coef + channel; k=2p low half of row p, k=2p+1 high half
+    # Optional single-DMA-stream relayout of the 34 rows above for the fused
+    # frontend (ops/frontend_pallas.py:build_fat_stream): per grid step, the
+    # 34 per-splat attribute blocks interleave into ONE contiguous u32 block,
+    # cutting the kernel's input pipeline from 34 DMA streams to 1 (TPU-
+    # measured ~0.5 ms/frame at bonsai scale).  Built once at upload; None
+    # falls back to the 34-stream path (per-frame dequantized clouds, shards).
+    fat: Optional[jnp.ndarray] = None  # (n_steps * 34 * 16384,) u32 or None
 
 
 class CompressedDeviceCloud(NamedTuple):

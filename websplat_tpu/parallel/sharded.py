@@ -49,6 +49,11 @@ def splat_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
 
 def shard_cloud(cloud: DeviceCloud, mesh: Mesh) -> DeviceCloud:
     """Pad N to a mesh multiple and shard every array over the splat axis."""
+    # the fused frontend's interleaved fat stream (built for the UNsharded
+    # splat count) does not split along the splat axis; each shard's frontend
+    # falls back to the 34-row column streams
+    if cloud.fat is not None:
+        cloud = cloud._replace(fat=None)
     d = mesh.shape[SPLAT_AXIS]
     n = cloud.opacity.shape[0]
     n_pad = -(-n // d) * d
@@ -73,7 +78,7 @@ def shard_cloud(cloud: DeviceCloud, mesh: Mesh) -> DeviceCloud:
         spec = P(*([None] * (x.ndim - 1) + [SPLAT_AXIS]))
         return jax.device_put(x, jax.sharding.NamedSharding(mesh, spec))
 
-    return DeviceCloud(*(shard(x) for x in cloud))
+    return DeviceCloud(*(None if x is None else shard(x) for x in cloud))
 
 
 def make_splat_sharded_renderer(

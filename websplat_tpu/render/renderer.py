@@ -50,12 +50,21 @@ def upload_cloud(cloud: GaussianCloud) -> DeviceCloud:
     /root/reference/src/pointcloud.rs:99-170).  The f16 wire values are
     widened to f32 once; SH stays f16 in HBM (it is the bulk of the bytes and
     the preprocess reads it once per frame).  Arrays are transposed to the
-    COLUMN-major device layout here, once (see DeviceCloud)."""
+    COLUMN-major device layout here, once (see DeviceCloud); the fused
+    frontend's single-stream interleaved relayout (DeviceCloud.fat) is also
+    built here, once."""
+    from websplat_tpu.ops.frontend_pallas import build_fat_stream
+
+    xyz_t = np.ascontiguousarray(cloud.xyz.T).astype(np.float32)
+    cov_t = np.ascontiguousarray(cloud.cov.T).astype(np.float32)
+    opacity = cloud.opacity.astype(np.float32)
+    sh_packed = _pack_sh_f16(cloud.sh)
     return DeviceCloud(
-        xyz=jnp.asarray(np.ascontiguousarray(cloud.xyz.T), jnp.float32),
-        cov=jnp.asarray(np.ascontiguousarray(cloud.cov.T).astype(np.float32)),
-        opacity=jnp.asarray(cloud.opacity.astype(np.float32)),
-        sh=jnp.asarray(_pack_sh_f16(cloud.sh)),
+        xyz=jnp.asarray(xyz_t),
+        cov=jnp.asarray(cov_t),
+        opacity=jnp.asarray(opacity),
+        sh=jnp.asarray(sh_packed),
+        fat=jnp.asarray(build_fat_stream(xyz_t, cov_t, opacity, sh_packed)),
     )
 
 
