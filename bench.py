@@ -150,6 +150,9 @@ def run_one(cloud, sigma, sweep):
 
     frames = N_VIEWS * SAMPLES
     fps = frames / elapsed
+    # record any leaked WS_* env overrides so a published number can never
+    # silently carry a non-default config (ablate vars would blank frames)
+    ws_env = {k: v for k, v in os.environ.items() if k.startswith("WS_")}
     result = {
         "metric": "fps_synthetic_bonsai_1200x799",
         "value": round(fps, 2),
@@ -166,6 +169,8 @@ def run_one(cloud, sigma, sweep):
             "tile_slots": config.tile_slots,
         },
     }
+    if ws_env:
+        result["detail"]["ws_env_overrides"] = ws_env
     if sweep:
         result["detail"]["scale_lognormal_sigma"] = sigma
     print(json.dumps(result), flush=True)

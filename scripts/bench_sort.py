@@ -77,12 +77,45 @@ def main():
         out = lax.sort((k ^ salt, w0, w1), num_keys=1, is_stable=False)
         return live(out)
 
+    def sort4u32(k, w0, w1, w2, salt):
+        # key + 3 payload words (the record-shrink target of VERDICT r3 #2)
+        out = lax.sort((k ^ salt, w0, w1, w2), num_keys=1, is_stable=False)
+        return live(out)
+
+    def sort_u64_payload(k, w0, w1, w2, w3, salt):
+        # u32 KEY (native compare — unlike sort_u64's emulated 64-bit key
+        # compare) + the 4 payload words packed into TWO u64 operands, which
+        # the sort only PERMUTES, never compares.  If per-operand overhead
+        # dominates payload cost (bytes moved are identical), this should
+        # approach the 3xu32 time while carrying the full 128-bit record.
+        with jax.enable_x64(True):
+            p0 = w0.astype(jnp.uint64) << 32 | w1.astype(jnp.uint64)
+            p1 = w2.astype(jnp.uint64) << 32 | w3.astype(jnp.uint64)
+            out = lax.sort((k ^ salt, p0, p1), num_keys=1, is_stable=False)
+            lo = lambda x: x.astype(jnp.uint32)
+            hi = lambda x: (x >> 32).astype(jnp.uint32)
+            outs = (out[0], hi(out[1]), lo(out[1]), hi(out[2]), lo(out[2]))
+        return live(outs)
+
+    def sort_u64_payload1(k, w0, w1, w2, w3, salt):
+        # same but only w0/w1 packed: key + u64 + 2xu32 = 4 operands
+        with jax.enable_x64(True):
+            p0 = w0.astype(jnp.uint64) << 32 | w1.astype(jnp.uint64)
+            out = lax.sort((k ^ salt, p0, w2, w3), num_keys=1, is_stable=False)
+            lo = lambda x: x.astype(jnp.uint32)
+            hi = lambda x: (x >> 32).astype(jnp.uint32)
+            outs = (out[0], hi(out[1]), lo(out[1]), out[2], out[3])
+        return live(outs)
+
     print(f"m={m}")
     print(f"5xu32 stable   : {timed(sort5, keys, *words):7.2f} ms")
     print(f"5xu32 unstable : {timed(sort5u, keys, *words):7.2f} ms")
     print(f"2xu32 unstable : {timed(sort2, keys, words[0]):7.2f} ms")
     print(f"3xu32 unstable : {timed(sort3u32, keys, words[0], words[1]):7.2f} ms")
+    print(f"4xu32 unstable : {timed(sort4u32, keys, words[0], words[1], words[2]):7.2f} ms")
     print(f"u64-packed (3) : {timed(sort_u64, keys, *words):7.2f} ms")
+    print(f"u64 payload (3): {timed(sort_u64_payload, keys, *words):7.2f} ms")
+    print(f"u64 payload (4): {timed(sort_u64_payload1, keys, *words):7.2f} ms")
 
 
 def extra():

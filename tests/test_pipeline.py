@@ -104,13 +104,10 @@ def test_alpha_threshold_bounds(rng):
     every dropped instance contributed < thr per pixel (image stays within
     the oracle PSNR gate), and thr=0 is bit-identical to the default."""
     cfg0 = RasterConfig(raster_backend="xla", tile_slots=16)
-    img0, ref, r0 = render_both(rng, config=cfg0)
-    rng2 = np.random.default_rng(777)
     cfg1 = RasterConfig(
         raster_backend="xla", tile_slots=16, alpha_threshold=1.0 / 255.0
     )
-    img1, _, r1 = render_both(rng2, config=cfg1)
-    # same synthetic scene family; compare counts on the SAME scene
+    # same synthetic scene; compare counts on the SAME scene
     rng3 = np.random.default_rng(555)
     imgA, refA, rA = render_both(rng3, config=cfg0)
     rng3 = np.random.default_rng(555)
@@ -120,6 +117,15 @@ def test_alpha_threshold_bounds(rng):
     assert psnr(imgB, refB) > 40.0
     # the two configs agree closely with each other (sub-threshold drops)
     assert psnr(imgB, imgA) > 45.0
+    # thr=0.0 is bit-identical to the default config (a_max collapses to the
+    # constant 2*CUTOFF, no instance culled)
+    rng3 = np.random.default_rng(555)
+    imgZ, _, _ = render_both(
+        rng3, config=RasterConfig(
+            raster_backend="xla", tile_slots=16, alpha_threshold=0.0
+        )
+    )
+    assert np.array_equal(imgZ, imgA)
 
 
 def test_num_visible_matches_oracle_count(rng):

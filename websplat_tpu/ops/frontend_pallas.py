@@ -40,7 +40,18 @@ INVALID_KEY = np.uint32(0xFFFFFFFF)
 # kernel after core_math (outputs kept live via an SMEM checksum), "keys"
 # additionally walks the slots and builds keys but skips compaction + DMA.
 # frontend(full) - frontend(keys) = the compaction/staging/write cost.
+# A leaked ablate var silently turns the production frontend into a no-emit
+# checksum kernel (blank frames, zero instances), so it WARNS loudly.
 _FRONT_ABLATE = os.environ.get("WS_FRONT_ABLATE", "")
+if _FRONT_ABLATE:
+    import warnings
+
+    warnings.warn(
+        f"WS_FRONT_ABLATE={_FRONT_ABLATE!r} is set: the fused frontend will "
+        "emit NO instances (profiling ablation mode — blank frames). Unset "
+        "it unless you are running scripts/profile_stages.py decomposition.",
+        stacklevel=1,
+    )
 
 SPLATS = 16384  # splats per grid step ((128, 128) view); VMEM-bounded:
 # 34 input blocks x 64 KB x 2 (pipeline) + staging + math temporaries

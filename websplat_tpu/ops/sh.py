@@ -55,6 +55,14 @@ def eval_sh(sh: jnp.ndarray, x, y, z, max_sh_deg):
     _ablate = os.environ.get("WS_SH_ABLATE", "")  # profiling only: "nodecode"
     # skips the f16 decode (garbage colors, same dataflow), "flat" skips SH
     # entirely — both bound the SH share of the frontend stage on hardware
+    if _ablate:
+        import warnings
+
+        warnings.warn(
+            f"WS_SH_ABLATE={_ablate!r} is set: SH colors will be garbage "
+            "(profiling ablation mode). Unset it outside ablation runs.",
+            stacklevel=2,
+        )
 
     def coef(k):
         from websplat_tpu.ops.packing import f16_bits_to_f32

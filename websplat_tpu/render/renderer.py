@@ -45,26 +45,34 @@ def _pack_sh_f16(sh: np.ndarray) -> np.ndarray:
     return bits[0::2] | (bits[1::2] << np.uint32(16))
 
 
-def upload_cloud(cloud: GaussianCloud) -> DeviceCloud:
+def upload_cloud(cloud: GaussianCloud, build_fat: bool = True) -> DeviceCloud:
     """Host cloud -> device pytree (reference: PointCloud::new upload,
     /root/reference/src/pointcloud.rs:99-170).  The f16 wire values are
     widened to f32 once; SH stays f16 in HBM (it is the bulk of the bytes and
     the preprocess reads it once per frame).  Arrays are transposed to the
     COLUMN-major device layout here, once (see DeviceCloud); the fused
     frontend's single-stream interleaved relayout (DeviceCloud.fat) is also
-    built here, once."""
-    from websplat_tpu.ops.frontend_pallas import build_fat_stream
+    built here, once.
 
+    ``build_fat=False`` skips the fat stream (~an extra cloud footprint in
+    both host RAM and HBM): use it when the cloud will be sharded
+    (parallel.sharded.shard_cloud discards fat anyway) or rendered through
+    the XLA fallbacks only."""
     xyz_t = np.ascontiguousarray(cloud.xyz.T).astype(np.float32)
     cov_t = np.ascontiguousarray(cloud.cov.T).astype(np.float32)
     opacity = cloud.opacity.astype(np.float32)
     sh_packed = _pack_sh_f16(cloud.sh)
+    fat = None
+    if build_fat:
+        from websplat_tpu.ops.frontend_pallas import build_fat_stream
+
+        fat = jnp.asarray(build_fat_stream(xyz_t, cov_t, opacity, sh_packed))
     return DeviceCloud(
         xyz=jnp.asarray(xyz_t),
         cov=jnp.asarray(cov_t),
         opacity=jnp.asarray(opacity),
         sh=jnp.asarray(sh_packed),
-        fat=jnp.asarray(build_fat_stream(xyz_t, cov_t, opacity, sh_packed)),
+        fat=fat,
     )
 
 
