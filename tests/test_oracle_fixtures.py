@@ -180,6 +180,129 @@ def test_two_splat_over_composite_analytic():
     np.testing.assert_allclose(img[32, 32], 0.612916270420694, atol=1e-6)
 
 
+def test_mip_splatting_analytic():
+    """Mip-splatting opacity correction pinned to hand-derived constants
+    (reference math: preprocess.wgsl:226-236).
+
+    Same isotropic splat as test_isotropic_splat_analytic (cov2d = 2.56 I,
+    kernel 0.3), with mip_splatting=True:
+      det0 = 2.56^2 = 6.5536, det1 = 2.86^2 = 8.1796,
+      coef = sqrt(det0/(det1 + 1e-6) + 1e-6) = 0.8951053989828214,
+      opacity_eff = 0.8 * coef = 0.7160843191862571,
+      alpha = opacity_eff * exp(-0.25/2.86) = 0.6561473199599561,
+      pixel = alpha * 0.7820947917738781 = 0.51316940157707.
+    The conic itself is unchanged (dilation still applies after the
+    correction), so the discard radius matches the non-mip fixture.
+    """
+    cloud = make_fixture_cloud(
+        [[0.0, 0.0, 2.0]],
+        [[0.01, 0.0, 0.0, 0.01, 0.0, 0.01]],
+        [0.8],
+        [[[1.0, 1.0, 1.0]]],
+        sh_deg=0,
+    )
+    import dataclasses
+
+    settings = dataclasses.replace(fixture_settings(), mip_splatting=True)
+    img = render_oracle(cloud, fixture_camera(), settings, W, H)
+    np.testing.assert_allclose(img[32, 32], 0.51316940157707, atol=1e-6)
+    # correction only scales opacity: the image is exactly coef x the
+    # non-mip single-splat render (single splat => blending is linear)
+    img0 = render_oracle(cloud, fixture_camera(), fixture_settings(), W, H)
+    np.testing.assert_allclose(img, img0 * 0.8951053989828214, atol=1e-6)
+
+
+def test_compressed_lambda_clamp_analytic():
+    """The compressed shader's RADIUS clamp divergence pinned by hand
+    (preprocess_compressed.wgsl:293-302 vs preprocess.wgsl:245-246).
+
+    Isotropic cov2d + kernel = 2.86 I has radius 0; the compressed variant
+    clamps r_c = max(radius, 0.1) which FORCES anisotropy:
+      lambda1 = 2.96, lambda2 = 2.76, e1 = (0, 1)
+      conic_a = 1/2.76 = 0.3623188405797102 (x axis now the NARROW one),
+      conic_b = 0, conic_c = 1/2.96 = 0.33783783783783783,
+      a(0.5, 0.5) = 0.125 * (conic_a + conic_c),
+      alpha = 0.8 * exp(-a), pixel = alpha * 0.7820947917738781
+            = 0.5732447791189261  (vs 0.5733061180953939 uncompressed).
+    """
+    cloud = make_fixture_cloud(
+        [[0.0, 0.0, 2.0]],
+        [[0.01, 0.0, 0.0, 0.01, 0.0, 0.01]],
+        [0.8],
+        [[[1.0, 1.0, 1.0]]],
+        sh_deg=0,
+    )
+    img = render_oracle(
+        cloud, fixture_camera(), fixture_settings(), W, H, compressed=True
+    )
+    np.testing.assert_allclose(img[32, 32], 0.5732447791189261, atol=1e-6)
+    # the forced anisotropy is REAL and oriented: conic_a > conic_c, so
+    # stepping +4 px in x dims more than +4 px in y
+    assert img[32, 36].max() < img[36, 32].min()
+    # the uncompressed render of the same cloud is the symmetric fixture
+    img_u = render_oracle(cloud, fixture_camera(), fixture_settings(), W, H)
+    np.testing.assert_allclose(img_u[32, 36], img_u[36, 32], atol=1e-6)
+
+
+def test_sh_deg2_deg3_analytic():
+    """SH degree 2 and 3 bands pinned to hand-evaluated basis constants
+    (preprocess.wgsl:114-154, Condon-Shortley convention).
+
+    Splat at (0.5, -0.25, 2), cov = 0.01 I, opacity 0.8:
+      view dir d = (0.2407717061715384, -0.1203858530857692,
+                    0.9630868246861536)
+      J = [[16, 0, -4], [0, -16, -2]] => cov2d = [[2.72, 0.08],
+      [0.08, 2.60]]; + 0.3 I: mid = 2.96, radius = sqrt(0.06^2 + 0.08^2)
+      = 0.1 exactly => l1 = 3.06, l2 = 2.86; e1 from (off, l1 - diag1) =
+      (-0.08, 0.04) => conic = (0.331367978426802, 0.009141185611773867,
+      0.34507975684446274); a(0.5, 0.5) = 0.08684126331185156;
+      alpha = 0.8 * exp(-a) = 0.733458093975149.
+
+    deg 2 (coefs c4..c8 = 0.2, -0.1, 0.3, 0.15, -0.25 per channel, dc 0.6):
+      color = C0*0.6 + C2[0]*xy*0.2 + C2[1]*yz*(-0.1)
+            + C2[2]*(2z^2-x^2-y^2)*0.3 + C2[3]*xz*0.15
+            + C2[4]*(x^2-y^2)*(-0.25) + 0.5 = 0.7749825090674352
+      peak = alpha * color = 0.5684171939646796
+    deg 3 adds c9 = 0.1, c12 = -0.2, c15 = 0.05:
+      color += C3[0]*y*(3x^2-y^2)*0.1 + C3[3]*z*(2z^2-3x^2-3y^2)*(-0.2)
+             + C3[6]*x*(x^2-3y^2)*0.05 = 0.6582950536030949
+      peak = alpha * color = 0.4828318352889946
+    """
+    sh16 = np.zeros((16, 3), np.float32)
+    sh16[0] = 0.6
+    sh16[4], sh16[5], sh16[6], sh16[7], sh16[8] = 0.2, -0.1, 0.3, 0.15, -0.25
+    cloud2 = make_fixture_cloud(
+        [[0.5, -0.25, 2.0]],
+        [[0.01, 0.0, 0.0, 0.01, 0.0, 0.01]],
+        [0.8],
+        [sh16[:9]],
+        sh_deg=2,
+    )
+    img2 = render_oracle(
+        cloud2, fixture_camera(), fixture_settings(max_sh_deg=2), W, H
+    )
+    np.testing.assert_allclose(img2[28, 40], 0.5684171939646796, atol=1e-6)
+
+    sh16[9], sh16[12], sh16[15] = 0.1, -0.2, 0.05
+    cloud3 = make_fixture_cloud(
+        [[0.5, -0.25, 2.0]],
+        [[0.01, 0.0, 0.0, 0.01, 0.0, 0.01]],
+        [0.8],
+        [sh16],
+        sh_deg=3,
+    )
+    img3 = render_oracle(
+        cloud3, fixture_camera(), fixture_settings(max_sh_deg=3), W, H
+    )
+    np.testing.assert_allclose(img3[28, 40], 0.4828318352889946, atol=1e-6)
+    # max_sh_deg masking: rendering the deg-3 cloud at max_sh_deg=2 must
+    # reproduce the deg-2 constant exactly (bands 3 masked out)
+    img32 = render_oracle(
+        cloud3, fixture_camera(), fixture_settings(max_sh_deg=2), W, H
+    )
+    np.testing.assert_allclose(img32[28, 40], 0.5684171939646796, atol=1e-6)
+
+
 def test_pipeline_matches_fixture_constants():
     """The real (XLA-path) pipeline reproduces the analytic peak value of
     the isotropic fixture within packing quantization (u16 center, f16
