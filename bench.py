@@ -62,20 +62,26 @@ def main():
     sweep = "--sigma-sweep" in sys.argv
     sigmas = [0.8, 1.4, 1.1] if sweep else [1.1]
 
-    rng = np.random.default_rng(0)
-    for sigma in sigmas:
-        cloud = (
-            make_bench_cloud(rng, n=N_SPLATS)
-            if sigma == 1.1
-            else make_cloud(
-                np.random.default_rng(0), n=N_SPLATS, extent=2.0,
-                scale_lognormal=(-6.48, sigma),
-            )
+    for sigma in sigmas[:-1]:
+        cloud = make_cloud(
+            np.random.default_rng(0), n=N_SPLATS, extent=2.0,
+            scale_lognormal=(-6.48, sigma),
         )
         run_one(cloud, sigma, sweep)
+    # round-over-round context line: the round-1..3 opacity draw (no
+    # low-alpha tail).  Same geometry, same compiled program (shapes are
+    # identical — only the data differs), so this costs ~2 s of extra
+    # timing, no extra compile.
+    run_one(
+        make_bench_cloud(np.random.default_rng(0), n=N_SPLATS, opacity="legacy"),
+        1.1, sweep=True, opacity_model="legacy",
+    )
+    # the LAST line is the headline default (trained-scene bimodal opacity,
+    # tests/synth.py:trained_opacity_logits) — the driver parses this one
+    run_one(make_bench_cloud(np.random.default_rng(0), n=N_SPLATS), 1.1, sweep)
 
 
-def run_one(cloud, sigma, sweep):
+def run_one(cloud, sigma, sweep, opacity_model="trained"):
     import functools
 
     import jax
@@ -173,6 +179,7 @@ def run_one(cloud, sigma, sweep):
         result["detail"]["ws_env_overrides"] = ws_env
     if sweep:
         result["detail"]["scale_lognormal_sigma"] = sigma
+    result["detail"]["opacity_model"] = opacity_model
     print(json.dumps(result), flush=True)
 
 

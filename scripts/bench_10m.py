@@ -98,47 +98,71 @@ def main():
         np.prod(x.shape) * x.dtype.itemsize
         for x in jax.tree_util.tree_leaves(dc)
     )
-    config = RasterConfig.for_viewport(width, height)
     dset = settings_to_device(settings)
     bg = jnp.asarray(settings.background_color, jnp.float32)
-
-    def frame(cam_dev, salt):
-        c = cam_dev._replace(view=cam_dev.view + salt * 1e-12)
-        img = render_frame(
-            dc, c, dset, bg, width=width, height=height, config=config,
-            compressed=True,
-        )
-        return img[::256, ::256].sum()
-
-    @jax.jit
-    def loop(cam_dev, k):
-        def body(i, acc):
-            return acc + frame(cam_dev, i.astype(jnp.float32))
-        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
-
     dcam = camera_to_device(uni)
-    float(loop(dcam, 1))  # compile + warmup
-    n1, n2 = 2, 8
-    ts = {}
-    for k in (n1, n2, n1, n2):
-        t0 = time.perf_counter()
-        float(loop(dcam, k))
-        ts.setdefault(k, []).append(time.perf_counter() - t0)
-    per_frame = (min(ts[n2]) - min(ts[n1])) / (n2 - n1)
-    fps = 1.0 / per_frame
-    print(json.dumps({
-        "metric": "fps_synthetic_10m_compressed",
-        "value": round(fps, 2),
-        "unit": "fps",
-        "detail": {
-            "splats": n,
-            "viewport": [width, height],
-            "hbm_resident_mb": round(hbm_bytes / 1e6, 1),
-            "bytes_per_splat": round(hbm_bytes / n, 1),
-            "ms_per_frame": round(per_frame * 1e3, 2),
-            "backend": jax.default_backend(),
-        },
-    }))
+
+    # Size the cull-before-gather capacity from the MEASURED visible
+    # fraction at the bench camera (+15% headroom), the sizing recipe the
+    # config knob documents.  One cheap readback, outside all timing.
+    from websplat_tpu.render.renderer import frustum_visible
+
+    n_vis = int(jax.jit(
+        lambda dc, dcam, dset: jnp.sum(
+            frustum_visible(dc.xyz, dcam, dset).astype(jnp.int32))
+    )(dc, dcam, dset))
+    cull_factor = min(1.0, 1.15 * n_vis / n)
+
+    import dataclasses
+
+    base = RasterConfig.for_viewport(width, height)
+    variants = [
+        ("full_n", base),
+        ("culled", dataclasses.replace(
+            base, compressed_cull_factor=cull_factor)),
+    ]
+    for name, config in variants:
+        def frame(cam_dev, salt, config=config):
+            c = cam_dev._replace(view=cam_dev.view + salt * 1e-12)
+            img = render_frame(
+                dc, c, dset, bg, width=width, height=height, config=config,
+                compressed=True,
+            )
+            return img[::256, ::256].sum()
+
+        @jax.jit
+        def loop(cam_dev, k, frame=frame):
+            def body(i, acc):
+                return acc + frame(cam_dev, i.astype(jnp.float32))
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+        float(loop(dcam, 1))  # compile + warmup
+        n1, n2 = 2, 8
+        ts = {}
+        for k in (n1, n2, n1, n2):
+            t0 = time.perf_counter()
+            float(loop(dcam, k))
+            ts.setdefault(k, []).append(time.perf_counter() - t0)
+        per_frame = (min(ts[n2]) - min(ts[n1])) / (n2 - n1)
+        fps = 1.0 / per_frame
+        # the LAST printed line (culled) is the headline configuration
+        print(json.dumps({
+            "metric": "fps_synthetic_10m_compressed",
+            "value": round(fps, 2),
+            "unit": "fps",
+            "detail": {
+                "splats": n,
+                "viewport": [width, height],
+                "hbm_resident_mb": round(hbm_bytes / 1e6, 1),
+                "bytes_per_splat": round(hbm_bytes / n, 1),
+                "ms_per_frame": round(per_frame * 1e3, 2),
+                "backend": jax.default_backend(),
+                "variant": name,
+                "visible_splats": n_vis,
+                "compressed_cull_factor": round(
+                    cull_factor if name == "culled" else 0.0, 4),
+            },
+        }), flush=True)
 
 
 if __name__ == "__main__":

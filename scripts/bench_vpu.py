@@ -8,6 +8,16 @@ on v5e, a chain of dependent-ish ops should run ~2x the f32 rate).
 Each kernel runs STREAMS independent chains of CHAIN fused mul-adds over an
 (8, 512) block per grid step, mirroring the rasterizer's interleaved group
 evaluation.  Reported: ns per (vreg-equivalent f32) op.
+
+MEASURED (TPU v5e, 2026-08-20): bf16 is a DEAD END for the blend path —
+Mosaic issues NO packed bf16 ALU ops on v5e; bf16 chains run at the same
+wall time as f32 for the same ELEMENT count, i.e. the same ns per f32-vreg
+equivalent (fori_loop: f32 7.15 vs bf16 7.27 ns/vreg; fully unrolled
+(--unroll): f32 7.18 vs bf16 6.91 — identical within noise), and
+`pltpu.roll` on bf16 (which the scan composite's sublane prefix needs)
+fails Mosaic compilation outright.  VERDICT r3 lever 1(a) closed with
+numbers: halving vreg traffic via bf16 buys nothing because the VPU retires
+one vector op per LANE-GROUP regardless of element width here.
 """
 
 import functools
@@ -33,7 +43,7 @@ SHAPE = (8, 512)
 STEPS = 512
 
 
-def _make(dtype, with_roll=False, with_exp=False):
+def _make(dtype, with_roll=False, with_exp=False, unroll=False):
     def kernel(x_ref, o_ref):
         xs = [x_ref[...] * (1.0 + 0.001 * i) for i in range(STREAMS)]
         c = jnp.asarray(1.0009765625, dtype)
@@ -49,7 +59,14 @@ def _make(dtype, with_roll=False, with_exp=False):
                 out.append(y)
             return out
 
-        xs = lax.fori_loop(0, CHAIN, body, xs)
+        if unroll:
+            # fully Python-unrolled chain: no fori_loop scalar overhead, the
+            # body is one straight-line block of STREAMS*CHAIN vector ops —
+            # isolates pure VPU issue throughput
+            for i in range(CHAIN):
+                xs = body(i, xs)
+        else:
+            xs = lax.fori_loop(0, CHAIN, body, xs)
         acc = xs[0]
         for x in xs[1:]:
             acc = acc + x
@@ -68,6 +85,28 @@ def _make(dtype, with_roll=False, with_exp=False):
     return run
 
 
+def _sweep(unroll):
+    for label, dtype in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+        for roll in (False, True):
+            for expo in (False, True):
+                x = jnp.asarray(
+                    np.random.default_rng(0).random(SHAPE) * 0.5 + 0.25, dtype
+                )
+                try:
+                    t = timed(_make(dtype, roll, expo, unroll), x)
+                except Exception as e:  # noqa: BLE001
+                    print(f"{label} roll={roll} exp={expo}: FAILED "
+                          f"{type(e).__name__}: {str(e)[:120]}")
+                    continue
+                # ops per step: STREAMS*CHAIN fused (mul+add) (+roll/+exp)
+                nops = STEPS * STREAMS * CHAIN
+                vregs32 = np.prod(SHAPE) / (8 * 128)  # f32 vreg equivalents
+                print(f"{label} unroll={unroll} roll={roll} exp={expo}: "
+                      f"{t*1e3:7.3f} ms "
+                      f"-> {t / nops * 1e9:6.2f} ns/op "
+                      f"({t / (nops * vregs32) * 1e9:5.2f} ns per f32-vreg)")
+
+
 def timed(run, x, reps=8):
     float(jnp.sum(run(x).astype(jnp.float32)))
     ts = []
@@ -81,24 +120,9 @@ def timed(run, x, reps=8):
 
 
 def main():
-    for label, dtype in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
-        for roll in (False, True):
-            for expo in (False, True):
-                x = jnp.asarray(
-                    np.random.default_rng(0).random(SHAPE) * 0.5 + 0.25, dtype
-                )
-                try:
-                    t = timed(_make(dtype, roll, expo), x)
-                except Exception as e:  # noqa: BLE001
-                    print(f"{label} roll={roll} exp={expo}: FAILED "
-                          f"{type(e).__name__}: {str(e)[:120]}")
-                    continue
-                # ops per step: STREAMS*CHAIN fused (mul+add) (+roll/+exp)
-                nops = STEPS * STREAMS * CHAIN
-                vregs32 = np.prod(SHAPE) / (8 * 128)  # f32 vreg equivalents
-                print(f"{label} roll={roll} exp={expo}: {t*1e3:7.3f} ms "
-                      f"-> {t / nops * 1e9:6.2f} ns/op "
-                      f"({t / (nops * vregs32) * 1e9:5.2f} ns per f32-vreg)")
+    unrolls = (False, True) if "--unroll" in sys.argv else (False,)
+    for unroll in unrolls:
+        _sweep(unroll)
 
 
 if __name__ == "__main__":

@@ -94,7 +94,17 @@ def main():
 
     from websplat_tpu.ops.rasterize_pallas import rasterize_pallas
 
-    if "--tune" in sys.argv:
+    if "--btree" in sys.argv:
+        # round-4: cross-group transmittance prefix tree (scan_batch_tree)
+        # vs the serial carry, across batch widths — if the serial (1, P)
+        # transmittance chain is a latency wall, wider batches + tree win
+        # and tile size starts mattering again
+        shapes = [(32, 32), (16, 16)]
+        variants = [("scan", "monomial")]
+        tune = [(sk, gb, bt) for bt in (False, True)
+                for sk in (2,) for gb in (4, 8)]
+        tune += [(1, 8, True), (4, 8, True), (2, 16, True)]
+    elif "--tune" in sys.argv:
         # second pass: seg_k x group_batch at the shape/variant winners
         shapes = [(32, 32), (64, 16)]
         variants = [("scan", "monomial")]
@@ -137,9 +147,11 @@ def main():
         sp = jax.block_until_ready(sp)
         n_inst = int(ranges[-1])
         zero = jnp.uint32(0)  # runtime-zero the tracer cannot fold
-        for (composite, qform), (sk, gb) in [
+        for (composite, qform), t in [
             (v, t) for v in variants for t in tune
         ]:
+            sk, gb = t[0], t[1]
+            bt = t[2] if len(t) > 2 else None
             if composite in ("mxu", "hybrid") and qform in ("skip", "noskip"):
                 over = dict(composite=composite, mxu_precision="default",
                             group_skip=(qform == "skip"))
@@ -153,6 +165,9 @@ def main():
             if sk is not None:
                 over.update(seg_k=sk, group_batch=gb)
                 label += f" seg={sk} gb={gb}"
+            if bt is not None:
+                over.update(scan_batch_tree=bt)
+                label += f" btree={int(bt)}"
             c = dataclasses.replace(cfg, **over)
 
             def stage(sp, ranges, bg, zero, salt=0, c=c):

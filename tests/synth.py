@@ -14,6 +14,28 @@ def random_quats(rng, n):
     return q / np.linalg.norm(q, axis=1, keepdims=True)
 
 
+def trained_opacity_logits(rng, n):
+    """Opacity logits matching trained-3DGS statistics: a BIMODAL logit-
+    normal mixture — a dominant high-opacity 'surface' mode plus a low-
+    opacity 'dust' mode (floaters, soft edges, densification residue).
+
+    Trained INRIA scenes are strongly bimodal in opacity: training prunes
+    below 0.005 but each densification round reintroduces low-alpha splats,
+    and published histograms (3DGS follow-ups on pruning, e.g. LightGaussian
+    / Compact-3DGS, which prune 40-60% of splats by opacity x scale
+    importance with little quality loss) show a heavy low-opacity mass next
+    to a near-opaque peak.  This mixture gives ~20% of splats opacity < 0.1,
+    ~12% < 0.05, ~2% < 0.01, ~0.3% < 1/255 — conservative relative to those
+    histograms.
+    The earlier sigmoid(uniform(-1, 3)) draw had NO opacity below 0.26,
+    which hid the value of alpha-aware culling entirely (it also made the
+    early-exit saturate unrealistically fast)."""
+    low = rng.normal(-2.2, 1.4, size=n)
+    high = rng.normal(2.2, 1.6, size=n)
+    pick = rng.random(n) < 0.4
+    return np.where(pick, low, high).astype(np.float32)
+
+
 def make_cloud(
     rng,
     n=500,
@@ -22,6 +44,7 @@ def make_cloud(
     scale_range=(-4.5, -2.5),
     scale_lognormal=None,
     opacity_logit_range=(-1.0, 3.0),
+    opacity_logits=None,
     kernel_size=None,
     mip_splatting=None,
     background_color=None,
@@ -32,7 +55,9 @@ def make_cloud(
     ``scale_lognormal=(mu, sigma)`` draws ln(scale) ~ N(mu, sigma) instead of
     the uniform ``scale_range`` — the realistic choice for benchmark scenes
     (trained 3DGS scales are heavy-tailed log-normal-ish: most splats project
-    to a few pixels, a thin tail spans many tiles)."""
+    to a few pixels, a thin tail spans many tiles).  ``opacity_logits`` (an
+    (n,) array) overrides the uniform ``opacity_logit_range`` draw — pass
+    :func:`trained_opacity_logits` output for realistic benchmark scenes."""
     xyz = rng.normal(size=(n, 3)).astype(np.float32) * extent * 0.4
     if scale_lognormal is not None:
         mu, sigma = scale_lognormal
@@ -42,7 +67,13 @@ def make_cloud(
     scale = np.exp(log_s) * extent
     rot = random_quats(rng, n)
     cov = build_cov(rot, scale)
-    opacity = sigmoid(rng.uniform(*opacity_logit_range, size=(n,)).astype(np.float32))
+    # the uniform draw always happens so the downstream rng stream (SH
+    # colors) stays bit-identical whether or not logits are overridden
+    uniform_logits = rng.uniform(*opacity_logit_range, size=(n,)).astype(np.float32)
+    if opacity_logits is not None:
+        opacity = sigmoid(np.asarray(opacity_logits, np.float32))
+    else:
+        opacity = sigmoid(uniform_logits)
     sh = np.zeros((n, 16, 3), np.float32)
     sh[:, 0, :] = rng.uniform(-0.5, 2.0, size=(n, 3))
     if sh_deg > 0:
@@ -105,7 +136,7 @@ def make_camera(
     )
 
 
-def make_bench_cloud(rng, n=1_244_819, extent=2.0) -> GaussianCloud:
+def make_bench_cloud(rng, n=1_244_819, extent=2.0, opacity="trained") -> GaussianCloud:
     """The benchmark cloud: bonsai's point count with trained-scene-like
     footprint statistics.
 
@@ -115,7 +146,21 @@ def make_bench_cloud(rng, n=1_244_819, extent=2.0) -> GaussianCloud:
     trained 3DGS scenes where most splats cover a few pixels and a thin
     log-normal tail spans many tiles.  (A uniform-log draw used earlier gave
     a 13 px median - ~5x fatter than real scenes, i.e. an unrealistically
-    rasterization-heavy workload.)"""
+    rasterization-heavy workload.)
+
+    ``opacity="trained"`` (default since round 4) draws the bimodal
+    trained-scene opacity mixture (:func:`trained_opacity_logits`);
+    ``opacity="legacy"`` keeps the round-1..3 sigmoid(uniform(-1, 3)) draw —
+    no low-opacity tail at all — for round-over-round comparability
+    (bench.py reports both)."""
+    logits = None
+    if opacity == "trained":
+        # drawn from a dedicated child generator so the geometry draw stays
+        # bit-identical between the two opacity models
+        logits = trained_opacity_logits(np.random.default_rng(7), n)
+    elif opacity != "legacy":
+        raise ValueError(f"unknown opacity model: {opacity!r}")
     return make_cloud(
-        rng, n=n, extent=extent, scale_lognormal=(-6.48, 1.1)
+        rng, n=n, extent=extent, scale_lognormal=(-6.48, 1.1),
+        opacity_logits=logits,
     )

@@ -243,3 +243,68 @@ def test_compressed_residency_matches_decoded(rng):
 
     p = psnr(imgs[0], imgs[1])
     assert p > 45.0, f"decoded vs resident PSNR {p:.1f} dB"
+
+
+def test_compressed_cull_before_gather_matches(rng):
+    """compressed_cull_factor routes the compressed path through
+    decompress_cloud_culled (frustum cull on resident xyz -> Pallas compact
+    -> codebook gathers at the culled capacity).  The culled render must
+    match the full-N render: the pre-cull is exactly the preprocess center
+    test (a superset of the frontend's final visible), compaction preserves
+    splat order, and NaN-padded sentinel lanes are culled by construction.
+    Differences are only sort-tie reordering (same tile, same quantized
+    depth), so the images agree to high PSNR and the diagnostics exactly.
+    Reference: preprocess_compressed.wgsl:229-242 (cull before dequant)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from websplat_tpu.config import RasterConfig, SplattingArgs, resolve_settings
+    from websplat_tpu.models.camera import CameraUniforms
+    from websplat_tpu.render.renderer import (
+        camera_to_device,
+        render_frame,
+        settings_to_device,
+        upload_compressed_cloud,
+    )
+    from tests.synth import make_camera
+
+    n, k = 700, 13
+    xyz = rng.normal(size=(n, 3)).astype(np.float32) * 0.6
+    table_scaling = rng.uniform(-4, -2, size=(k, 3)).astype(np.float32)
+    table_rot = random_quats(rng, k)
+    table_sh = rng.normal(size=(k, 16, 3)).astype(np.float32) * 0.4
+    gi = rng.integers(0, k, size=n).astype(np.int32)
+    fi = rng.integers(0, k, size=n).astype(np.int32)
+    opacity = rng.uniform(0.05, 1.0, size=(n,)).astype(np.float32)
+    sf_log = rng.uniform(-0.5, 0.5, size=(n,)).astype(np.float32)
+    blob = dumps_npz(
+        xyz, table_scaling, table_rot, opacity, table_sh, sh_deg=3,
+        gaussian_indices=gi, feature_indices=fi, scaling_factor_log=sf_log,
+    )
+    resident = load_gaussian_cloud(blob, keep_compressed=True)
+    dev = upload_compressed_cloud(resident)
+
+    w, h = 96, 64
+    cam = make_camera(viewport=(w, h))
+    cam.fit_near_far(*resident.aabb)
+    uni = camera_to_device(CameraUniforms.from_camera(cam, (w, h)))
+    settings = settings_to_device(resolve_settings(SplattingArgs(), resident))
+    cfg0 = RasterConfig.for_backend()
+    cfg1 = dataclasses.replace(cfg0, compressed_cull_factor=1.0)
+    outs = []
+    for cfg in (cfg0, cfg1):
+        img, diag = render_frame(
+            dev, uni, settings, jnp.zeros(3, jnp.float32),
+            width=w, height=h, config=cfg, compressed=True, return_diag=True,
+        )
+        outs.append((np.asarray(img), {k_: int(v) for k_, v in diag.items()}))
+    (img0, d0), (img1, d1) = outs
+    assert d1["num_culled_dropped"] == 0, d1
+    assert d1["num_visible"] == d0["num_visible"], (d0, d1)
+    assert d1["num_instances"] == d0["num_instances"], (d0, d1)
+    from websplat_tpu.utils.image import psnr
+
+    assert np.isfinite(img1).all()
+    p = psnr(img0, img1)
+    assert p > 60.0, f"culled vs full compressed path PSNR {p:.1f} dB"

@@ -102,8 +102,11 @@ def test_grow_in_animation_partial(rng):
 def test_alpha_threshold_bounds(rng):
     """alpha_threshold tightens instance bounds: the instance stream shrinks,
     every dropped instance contributed < thr per pixel (image stays within
-    the oracle PSNR gate), and thr=0 is bit-identical to the default."""
-    cfg0 = RasterConfig(raster_backend="xla", tile_slots=16)
+    the oracle PSNR gate), and the shipped default IS 1/255 (bit-identical
+    to an explicit 1/255 config)."""
+    cfg0 = RasterConfig(
+        raster_backend="xla", tile_slots=16, alpha_threshold=0.0
+    )
     cfg1 = RasterConfig(
         raster_backend="xla", tile_slots=16, alpha_threshold=1.0 / 255.0
     )
@@ -117,15 +120,13 @@ def test_alpha_threshold_bounds(rng):
     assert psnr(imgB, refB) > 40.0
     # the two configs agree closely with each other (sub-threshold drops)
     assert psnr(imgB, imgA) > 45.0
-    # thr=0.0 is bit-identical to the default config (a_max collapses to the
-    # constant 2*CUTOFF, no instance culled)
+    # the shipped default is exactly the 1/255 cull (regression guard on
+    # the config default flip, round 4)
     rng3 = np.random.default_rng(555)
-    imgZ, _, _ = render_both(
-        rng3, config=RasterConfig(
-            raster_backend="xla", tile_slots=16, alpha_threshold=0.0
-        )
+    imgD, _, _ = render_both(
+        rng3, config=RasterConfig(raster_backend="xla", tile_slots=16)
     )
-    assert np.array_equal(imgZ, imgA)
+    assert np.array_equal(imgD, imgB)
 
 
 def test_num_visible_matches_oracle_count(rng):

@@ -153,22 +153,28 @@ def test_band_skipping_bit_exact(rng):
 
 
 @pytest.mark.parametrize(
-    "composite,qform",
-    [("scan", "monomial"), ("tree", "monomial"), ("scan", "direct"),
-     ("mxu", "monomial"), ("hybrid", "monomial")],
+    "composite,qform,btree",
+    [("scan", "monomial", False), ("tree", "monomial", False),
+     ("scan", "direct", False), ("mxu", "monomial", False),
+     ("hybrid", "monomial", False), ("scan", "monomial", True)],
 )
-def test_inner_loop_variants_agree(rng, composite, qform):
+def test_inner_loop_variants_agree(rng, composite, qform, btree):
     """The rasterizer's inner-loop math variants (config.composite/qform)
     must agree with the default (tree+direct) pipeline: scan-vs-tree is
     an f32 reassociation of the same over-composite (1-ulp), the
     monomial expansion of the quadratic form is bounded to ~1e-4 absolute
     in `a` by the tile-local coordinates (rasterize_pallas.py band_pix),
-    and the mxu composite's log-space transmittance round-trip stays ~1e-6
-    relative in the live (T > eps) regime."""
+    the mxu composite's log-space transmittance round-trip stays ~1e-6
+    relative in the live (T > eps) regime, and the cross-group batch
+    prefix tree (scan_batch_tree) only reassociates the same f32
+    transmittance products."""
     cloud = make_cloud(rng, n=120)
     cam = make_camera(viewport=(W, H))
     args = SplattingArgs(background_color=(0.2, 0.1, 0.4))
-    (img_v, _), _ = _render(cloud, cam, args, "pallas", composite=composite, qform=qform), None
+    (img_v, _), _ = _render(
+        cloud, cam, args, "pallas", composite=composite, qform=qform,
+        scan_batch_tree=btree,
+    ), None
     (img_d, _), _ = _render(cloud, cam, args, "pallas"), None
     assert np.isfinite(img_v).all()
     assert np.abs(img_v - img_d).max() < 1e-3

@@ -88,7 +88,34 @@ class RasterConfig:
     # below one 8-bit display quantization step at the default 1/255.  The
     # rasterizer's blend math is unchanged for emitted tiles.  0 disables
     # (reference-exact coverage).
-    alpha_threshold: float = 0.0
+    # Default 1/255 since round 4.  NOTE the reference discards only on the
+    # spatial test (a > 2*CUTOFF, gaussian.wgsl:61-64) — it has no alpha
+    # discard — so thr=1/255 is an approximation: it drops exactly the
+    # contributions below one 8-bit display quantization step (the INRIA
+    # CUDA rasterizer's classic `alpha < 1/255 -> skip` convention).  Gated
+    # by the bench-scale PSNR-vs-oracle artifact (PSNR_r04.json >= 60 dB).
+    # Measured (TPU v5e, bonsai bench with the trained-scene
+    # bimodal opacity mixture, scripts/sweep_alpha.py 2026-08-20):
+    #   thr=0      : 17.32 ms  n_inst=1,785,438
+    #   thr=1/512  : 17.10 ms  n_inst=1,735,530
+    #   thr=1/255  : 16.87 ms  n_inst=1,699,923   <- default
+    #   thr=1/128  : 16.00 ms  n_inst=1,645,835   (beyond reference discard)
+    # (The round-3 "no instance cut" verdict was an artifact of the legacy
+    # synthetic opacity draw having no low-alpha tail; see tests/synth.py.)
+    alpha_threshold: float = 1.0 / 255.0
+
+    # Compressed-residency cull-before-gather: when > 0, the compressed
+    # path frustum-culls on the resident xyz FIRST (exactly the preprocess
+    # center test), compacts survivors to a static
+    # ceil(compressed_cull_factor * N) capacity (Pallas), and runs the
+    # dominant codebook gathers (~5 ms/M rows) only over that prefix —
+    # renderer.decompress_cloud_culled.  Size it so the worst camera's
+    # visible fraction fits; splats beyond capacity are DROPPED (surfaced
+    # as num_culled_dropped in the diagnostics).  0 disables (gathers run
+    # at full N; reference-exact coverage for any camera).  The reference
+    # analogue: preprocess_compressed.wgsl:229-242 culls before touching
+    # the codebooks.
+    compressed_cull_factor: float = 0.0
 
     # Early-termination threshold on transmittance.  The reference blends
     # every fragment back-to-front with no early out
@@ -118,6 +145,21 @@ class RasterConfig:
     # interleaved for ILP — both measured-tuned (see rasterize_pallas.py).
     seg_k: int = 2
     group_batch: int = 4
+    # Cross-group transmittance prefix tree for the scan composite: the
+    # per-group serial (1, P) transmittance multiply is a latency chain
+    # (~224k dependent ops/frame at bonsai scale); the tree prefixes each
+    # batch's group totals independently of the carry so the cross-batch
+    # chain is one multiply per group_batch groups, at ~log2(group_batch)
+    # extra (1, P) multiplies per batch.  Bit-inexact vs the serial carry
+    # only through f32 reassociation of the same products.
+    # MEASURED LOSER (TPU v5e, bonsai bench, sweep_raster --btree): a wash
+    # at the shipped config (9.05 -> 9.02 ms raster, seg=2 gb=4) and WORSE
+    # at wider batches (gb=8: 9.07 -> 10.46 ms; gb=16: 10.40) — the serial
+    # chain is NOT the rasterizer's wall (the VPU hides it under the group
+    # math); the tree's extra (1, P) multiplies only add work.  Kept
+    # selectable for future hardware where the latency/throughput balance
+    # differs.
+    scan_batch_tree: bool = False
     # Inner-loop math variants of the Pallas rasterizer (bit-inexact vs each
     # other only at the 2*CUTOFF discard boundary and f32 rounding; all
     # oracle-tested):
@@ -209,6 +251,10 @@ class RasterConfig:
             ("WS_OSLOTS", "overflow_slots", int),
             ("WS_ALPHA", "alpha_threshold", float),
             ("WS_EPS", "transmittance_eps", float),
+            ("WS_SEG_K", "seg_k", int),
+            ("WS_GROUP_BATCH", "group_batch", int),
+            ("WS_BTREE", "scan_batch_tree", lambda v: bool(int(v))),
+            ("WS_CULL", "compressed_cull_factor", float),
         ):
             if os.environ.get(var):
                 overrides[field] = cast(os.environ[var])

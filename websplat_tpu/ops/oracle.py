@@ -160,14 +160,29 @@ def render_oracle(
     )
     img = np.zeros((height, width, 3), np.float32)
     trans = np.ones((height, width), np.float32)
+    # BIT-identical bounding-box restriction: outside the {a <= 2*CUTOFF}
+    # ellipse the discard zeroes alpha EXACTLY, so blending only inside a
+    # conservative AABB of that ellipse changes nothing (x += 0 and
+    # x *= 1.0 are float identities) while making bench-scale scenes
+    # (million-splat, megapixel) tractable — O(sum of splat areas) instead
+    # of O(N * pixels).  AABB semi-extent: sqrt(2 * 2*CUTOFF * l1) with l1
+    # the major eigenvalue of the (kernel-dilated) 2D covariance, which
+    # upper-bounds both sig_xx and sig_yy (preprocess.py ext_x/ext_y).
+    ext = np.sqrt(np.maximum(0.0, 4.0 * CUTOFF * l1)) + 1.0
     for i in vis_idx:
-        dx = xs - px[i]
-        dy = ys - py[i]
+        x0 = max(0, int(np.floor(px[i] - ext[i])))
+        x1 = min(width, int(np.ceil(px[i] + ext[i])) + 1)
+        y0 = max(0, int(np.floor(py[i] - ext[i])))
+        y1 = min(height, int(np.ceil(py[i] + ext[i])) + 1)
+        if x0 >= x1 or y0 >= y1:
+            continue
+        dx = xs[y0:y1, x0:x1] - px[i]
+        dy = ys[y0:y1, x0:x1] - py[i]
         a = 0.5 * (conic_a[i] * dx * dx + 2 * conic_b[i] * dx * dy + conic_c[i] * dy * dy)
         alpha = np.minimum(0.99, np.exp(-a) * opacity[i])
         alpha = np.where(a > 2.0 * CUTOFF, 0.0, alpha)
-        w = alpha * trans
-        img += w[:, :, None] * rgb[i][None, None, :]
-        trans *= 1.0 - alpha
+        w = alpha * trans[y0:y1, x0:x1]
+        img[y0:y1, x0:x1] += w[:, :, None] * rgb[i][None, None, :]
+        trans[y0:y1, x0:x1] *= 1.0 - alpha
     img += trans[:, :, None] * np.asarray(settings.background_color, np.float32)[None, None, :]
     return img

@@ -483,6 +483,7 @@ def _make_kernel(
     composite: str = "scan",
     qform: str = "monomial",
     mxu_precision: str = "highest",
+    batch_tree: bool = False,
 ):
     if composite in ("mxu", "hybrid"):
         if y_bands != 1:
@@ -814,6 +815,34 @@ def _make_kernel(
                         pltpu.roll(tp[k] * t_l[k], shift=1, axis=0)[0:1, :]
                         for k in range(nb)
                     ]
+                    if batch_tree and nb > 1:
+                        # Cross-group transmittance prefix TREE: the serial
+                        # dependence chain through `trans` was one (1, P)
+                        # multiply per group — ~224k dependent 8-vreg ops per
+                        # frame at bonsai scale, a pure latency wall that
+                        # P-size changes cannot touch (and the measured
+                        # reason raster time barely moved between 512- and
+                        # 1024-px tiles).  Here the batch's group totals are
+                        # prefix-multiplied independently of `trans`
+                        # (Hillis-Steele over the nb-list, depth log2(nb)),
+                        # so the cross-batch chain is ONE multiply per batch:
+                        # trans' = trans * inclusive[nb-1].
+                        inc = list(tot)
+                        sh = 1
+                        while sh < nb:
+                            inc = [
+                                inc[k] if k < sh else inc[k - sh] * inc[k]
+                                for k in range(nb)
+                            ]
+                            sh *= 2
+                        t_k = [trans] + [trans * inc[k] for k in range(nb - 1)]
+                        for k, s in enumerate(sls):
+                            tw = w[k] * t_k[k]
+                            cr = cr + tw * s(r_g)
+                            cg = cg + tw * s(g_g)
+                            cb = cb + tw * s(b_g)
+                        trans = trans * inc[nb - 1]
+                        return cr, cg, cb, trans
                     # serial pass: weights scaled by the running tile
                     # transmittance (the chain is one (1, P) mul per group)
                     for k, s in enumerate(sls):
@@ -1024,6 +1053,7 @@ def rasterize_pallas(
         composite=config.composite,
         qform=config.qform,
         mxu_precision=config.mxu_precision,
+        batch_tree=config.scan_batch_tree,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -120,6 +120,109 @@ def decompress_cloud(cc: CompressedDeviceCloud) -> DeviceCloud:
     return DeviceCloud(xyz=cc.xyz, cov=cov, opacity=opacity, sh=sh)
 
 
+def frustum_visible(
+    xyz: jnp.ndarray, camera: CameraParams, settings: DeviceSettings
+) -> jnp.ndarray:
+    """(N,) bool: EXACTLY the preprocess center-visibility test — clipping
+    box AND z_ndc in (0,1) AND |clip_xy| <= 1.2*clip_w — on xyz alone
+    (preprocess.wgsl:177-192, ops/preprocess.py:174-209).  This is a
+    SUPERSET of core_math's final `visible` (which additionally culls
+    degenerate lambda2 / off-screen rects / sub-threshold opacity — all of
+    which need the dequantized covariance), so culling on it before
+    dequantization drops no splat the frontend would have kept."""
+    x_w, y_w, z_w = xyz[0], xyz[1], xyz[2]
+    cb_min, cb_max = settings.clipping_box_min, settings.clipping_box_max
+    inside = (
+        (x_w >= cb_min[0]) & (x_w <= cb_max[0])
+        & (y_w >= cb_min[1]) & (y_w <= cb_max[1])
+        & (z_w >= cb_min[2]) & (z_w <= cb_max[2])
+    )
+    # elementwise, NOT matmuls (TPU f32 @ runs as bf16 MXU passes — see
+    # ops/preprocess.py:182-186); comparisons written so NaN inputs fail
+    v, p = camera.view, camera.proj
+    cam = [v[i, 0] * x_w + v[i, 1] * y_w + v[i, 2] * z_w + v[i, 3] for i in range(3)]
+    clip = [
+        p[i, 0] * cam[0] + p[i, 1] * cam[1] + p[i, 2] * cam[2] + p[i, 3]
+        for i in range(4)
+    ]
+    z_ndc = clip[2] / clip[3]
+    bounds = 1.2 * clip[3]
+    return (
+        inside
+        & (z_ndc > 0.0)
+        & (z_ndc < 1.0)
+        & (clip[0] >= -bounds)
+        & (clip[0] <= bounds)
+        & (clip[1] >= -bounds)
+        & (clip[1] <= bounds)
+    )
+
+
+def decompress_cloud_culled(
+    cc: CompressedDeviceCloud,
+    camera: CameraParams,
+    settings: DeviceSettings,
+    *,
+    capacity: int,
+) -> Tuple[DeviceCloud, jnp.ndarray]:
+    """Cull-before-gather dequantization: frustum-cull on the resident xyz
+    FIRST, compact the survivors (Pallas, ~0.15 ms/M), and run the codebook
+    gathers — the dominant compressed-path cost, ~5 ms per million rows —
+    only over the visible prefix.  The reference analogue: the compressed
+    preprocess dequantizes a splat only after its own cull passes
+    (preprocess_compressed.wgsl:229-242 returns before touching codebooks).
+
+    Everything a splat needs rides the compaction itself (opacity_q and
+    scale_factor_q packed in the key word's low 16 bits; xyz + the two
+    codebook indices as the 5 payload words), so NO per-splat gather at the
+    original N ever runs.  Sentinel (padding) lanes get NaN xyz, which the
+    preprocess cull rejects by construction (all its comparisons fail on
+    NaN — ops/preprocess.py:198-209).
+
+    Returns (cloud, num_culled_dropped): splats dropped because more than
+    `capacity` survived the frustum cull (0 in correct sizing; surfaced in
+    the frame diagnostics)."""
+    from websplat_tpu.ops.compact_pallas import INVALID_KEY, compact_instances
+
+    vis = frustum_visible(cc.xyz, camera, settings)
+    op_u = cc.opacity_q.astype(jnp.uint8).astype(jnp.uint32)
+    if cc.scale_factor_q is not None:
+        sf_u = cc.scale_factor_q.astype(jnp.uint8).astype(jnp.uint32)
+    else:
+        sf_u = jnp.zeros_like(op_u)
+    keys = jnp.where(vis, (op_u << 8) | sf_u, jnp.uint32(INVALID_KEY))
+    bits = lambda a: lax.bitcast_convert_type(a, jnp.uint32)
+    payload = (
+        bits(cc.xyz[0]), bits(cc.xyz[1]), bits(cc.xyz[2]),
+        bits(cc.geom_idx), bits(cc.sh_idx),
+    )
+    keys_c, payload_c, _n_vis, n_drop = compact_instances(
+        keys, payload, capacity=capacity
+    )
+    cap = keys_c.shape[0]
+    live = keys_c != INVALID_KEY
+    nan = jnp.float32(np.nan)
+    f32 = lambda a: lax.bitcast_convert_type(a, jnp.float32)
+    xyz = jnp.stack([
+        jnp.where(live, f32(payload_c[0]), nan),
+        jnp.where(live, f32(payload_c[1]), nan),
+        jnp.where(live, f32(payload_c[2]), nan),
+    ])
+    i32 = lambda a: lax.bitcast_convert_type(a, jnp.int32)
+    # sentinel lanes decode to index 0 (a valid codebook row; harmless —
+    # their NaN xyz culls them in the frontend before anything is emitted)
+    geom_idx = jnp.where(live, i32(payload_c[3]), 0)
+    sh_idx = jnp.where(live, i32(payload_c[4]), 0)
+    to_i8 = lambda u: jnp.where(u > 127, u.astype(jnp.int32) - 256, u.astype(jnp.int32)).astype(jnp.float32)
+    opacity = (to_i8((keys_c >> 8) & 0xFF) - cc.opacity_zp) * cc.opacity_scale
+    cov = jnp.take(cc.covars, geom_idx, axis=1)  # (6, cap)
+    if cc.scale_factor_q is not None:
+        sf = jnp.exp((to_i8(keys_c & 0xFF) - cc.sf_zp) * cc.sf_scale)
+        cov = cov * (sf * sf)[None, :]
+    sh = jnp.take(cc.sh_cb, sh_idx, axis=1)  # (24, cap)
+    return DeviceCloud(xyz=xyz, cov=cov, opacity=opacity, sh=sh), n_drop
+
+
 def settings_to_device(s: ResolvedSettings) -> DeviceSettings:
     return DeviceSettings(
         clipping_box_min=jnp.asarray(s.clipping_box_min, jnp.float32),
@@ -180,9 +283,17 @@ def render_frame_impl(
     and returns (sorted_keys, sorted_payload, ranges) — the stage profiler's
     hook for timing the REAL pre-raster pipeline (including the overflow
     splice the stage-local reconstructions miss); not for production use."""
-    if isinstance(cloud, CompressedDeviceCloud):
-        cloud = decompress_cloud(cloud)
     pallas_ok = use_pallas_ops(multi_device)
+    num_culled_dropped = jnp.int32(0)
+    if isinstance(cloud, CompressedDeviceCloud):
+        if config.compressed_cull_factor > 0.0 and pallas_ok:
+            n0 = cloud.opacity_q.shape[0]
+            cull_cap = max(4096, int(config.compressed_cull_factor * n0))
+            cloud, num_culled_dropped = decompress_cloud_culled(
+                cloud, camera, settings, capacity=cull_cap
+            )
+        else:
+            cloud = decompress_cloud(cloud)
     tx_tiles, ty_tiles = config.tiles_for(width, height)
     _, depth_bits_ = config.key_bits(width, height)
     # the fused frontend computes everything in-kernel; its limits are the
@@ -349,6 +460,7 @@ def render_frame_impl(
             num_clamped=num_clamped if pre is None else pre.num_clamped,
             num_instances=ranges[-1],
             num_dropped=num_dropped,
+            num_culled_dropped=num_culled_dropped,
         )
     return img
 
