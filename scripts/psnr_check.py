@@ -30,12 +30,26 @@ from synth import make_camera, make_cloud
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000
-    width = int(sys.argv[2]) if len(sys.argv) > 2 else 400
-    height = int(sys.argv[3]) if len(sys.argv) > 3 else 300
+    # --bench: the EXACT benchmark scene (make_bench_cloud: bonsai point
+    # count, trained-scene log-normal scales AND bimodal opacity) at the
+    # bench viewport/camera — the full-scale quality artifact (PSNR_r04),
+    # where f32 cancellation, RGB9E5, the ladder prefix and the overflow
+    # splice all actually stress.  The box-limited oracle (ops/oracle.py)
+    # makes the ground-truth render tractable at this scale.
+    bench = "--bench" in sys.argv
+    if bench:
+        sys.argv.remove("--bench")
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else (1_244_819 if bench else 60_000)
+    width = int(sys.argv[2]) if len(sys.argv) > 2 else (1200 if bench else 400)
+    height = int(sys.argv[3]) if len(sys.argv) > 3 else (799 if bench else 300)
 
     rng = np.random.default_rng(0)
-    cloud = make_cloud(rng, n=n, extent=2.0, scale_lognormal=(-5.8, 1.0))
+    if bench:
+        from synth import make_bench_cloud
+
+        cloud = make_bench_cloud(rng, n=n)
+    else:
+        cloud = make_cloud(rng, n=n, extent=2.0, scale_lognormal=(-5.8, 1.0))
     cam = make_camera(viewport=(width, height), distance=3.0)
     cam.fit_near_far(*cloud.aabb)
     args = SplattingArgs(background_color=(0.1, 0.12, 0.2))
@@ -51,7 +65,9 @@ def main():
         ("eps=4e-3", RasterConfig(transmittance_eps=4e-3)),
         ("eps=1e-2", RasterConfig(transmittance_eps=1e-2)),
         ("alpha=1/255", RasterConfig(alpha_threshold=1.0 / 255.0)),
+        ("alpha=0 (reference-exact coverage)", RasterConfig(alpha_threshold=0.0)),
         ("alpha=1/512", RasterConfig(alpha_threshold=1.0 / 512.0)),
+        ("alpha=1/128", RasterConfig(alpha_threshold=1.0 / 128.0)),
         ("mxu/highest", RasterConfig(composite="mxu", mxu_precision="highest")),
         ("mxu/high", RasterConfig(composite="mxu", mxu_precision="high")),
         ("mxu/default", RasterConfig(composite="mxu", mxu_precision="default")),

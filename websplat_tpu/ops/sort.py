@@ -14,6 +14,22 @@ the same job:
 Tile ranges replace the reference's indirect-draw count: with keys packed as
 (tile << depth_bits | depth), ``searchsorted`` on the tile boundary keys
 yields each tile's [start, end) span in the sorted instance array.
+
+Record-width reduction (VERDICT r3 #2) — MEASURED AND REJECTED
+(scripts/bench_sort.py at m=1,785,438 = the bonsai-bench instance count,
+TPU v5e 2026-08-20, unstable):
+    key+4 payload (current) 4.63 ms | key+3  3.89 | key+2  2.67 | key+1 1.65
+    u64-packed key (3 ops)  4.65    | u64 payload pairs (3 ops) 3.80
+A 96-bit record (key+3) saves only 0.74 ms and requires ~2x coarser
+quantization everywhere at once (11-bit log-coded conic diagonal vs f16's
+0.05% relative step, 10-12-bit correlation, 8-10-bit opacity, 14-bit depth
+ties) — the rgb9e5 word (27 bits, already the precision floor at 9-bit
+mantissas) and the center word (u16 fixed, 1/54 px) cannot give up bits, so
+conic+opacity must fit 32+keyspare.  Estimated >= 4-8 dB oracle-PSNR cost
+against a 60 dB gate for a 4.4% frame saving; key+2 (1.96 ms) would need a
+64-bit record, far below any acceptable precision.  u64 lane packing is NOT
+operand reduction (emulated u32 pairs: 3.80-4.65 ms, no win — CLAUDE.md's
+round-2 result reconfirmed).
 """
 
 from __future__ import annotations

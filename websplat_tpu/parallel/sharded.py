@@ -32,7 +32,7 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from websplat_tpu.config import RasterConfig
-from websplat_tpu.ops.preprocess import CameraParams, DeviceCloud, DeviceSettings, preprocess
+from websplat_tpu.ops.preprocess import CameraParams, DeviceCloud, DeviceSettings
 from websplat_tpu.ops.sort import sort_instances, tile_ranges
 
 SPLAT_AXIS = "splat"
@@ -96,6 +96,21 @@ def make_splat_sharded_renderer(
     the all_to_all moves (D, region_capacity) instances per device.  Returns
     ``fn(cloud_sharded, camera, settings, background) -> (image, stats)``
     with image rows sharded over the mesh.
+
+    Sizing ``region_capacity``: each sender cuts its LOCAL sorted stream
+    (~total_instances/D) into D region buffers, so the mean fill is
+    ~total_instances/D²; the worst case is one sender's entire stream
+    landing in one region (total_instances/D).  Recipe: render one diag
+    frame (``render_frame(..., return_diag=True)["num_instances"]``) and set
+    ``region_capacity = skew * n_inst / D`` — ``skew = 1.15`` is safe for
+    near-uniform splat shards (each shard sees the whole screen, so its
+    per-region split mirrors the global tile distribution; measured on the
+    bonsai bench the busiest tile ROW band holds well under 2x the mean),
+    ``skew = D`` (i.e. n_inst per buffer) is the no-drop worst case.
+    Overfill DROPS instances and is reported per frame in
+    ``stats["num_dropped_exchange"]`` — treat any nonzero as a resize
+    signal.  HBM cost is D * region_capacity * 24 B per device.
+    ``scripts/bench_sharded.py`` applies this recipe at D=1.
     """
     d = mesh.shape[SPLAT_AXIS]
     tx_tiles, ty_tiles = config.tiles_for(width, height)
@@ -112,69 +127,27 @@ def make_splat_sharded_renderer(
     def shard_fn(cloud, camera, settings, background):
         my = lax.axis_index(SPLAT_AXIS)
 
-        # 1. local preprocess + emission + compaction + sort (tile-major keys)
-        from websplat_tpu.render.renderer import use_pallas_ops
+        # 1. local preprocess + emission + compaction + overflow splice +
+        #    sort (tile-major keys) — the SAME stream builder as the
+        #    single-chip frame (renderer.build_instance_stream), so the
+        #    sharded path inherits the fused frontend's in-place overflow
+        #    splice and the exact-cursor sort ladder
+        from websplat_tpu.render.renderer import (
+            build_instance_stream,
+            use_pallas_ops,
+        )
 
         # d == 1: interpret-mode Pallas has no mesh barrier, so the REAL
         # fused-frontend + Pallas-raster branch runs under shard_map off-TPU
         # (renderer.use_pallas_ops)
         pallas_ok = use_pallas_ops(multi_device=d > 1)
-        fused_ok = (
-            config.compact and pallas_ok
-            and tx_tiles <= 127 and ty_tiles <= 127
-            and config.tile_slots <= (16 if jax.default_backend() == "tpu" else 8)
+        keys, payload, n_valid, stats = build_instance_stream(
+            cloud, camera, settings, width=width, height=height,
+            config=config, compressed=compressed, pallas_ok=pallas_ok,
         )
-        overflow = config.overflow_enabled
-        if fused_ok:
-            from websplat_tpu.ops.frontend_pallas import fused_frontend
-
-            n_loc = cloud.opacity.shape[0]
-            capacity = max(4096, int(config.instance_capacity_factor * n_loc))
-            if overflow:
-                (keys, payload, nvis, _, _, _, cid_words, _) = fused_frontend(
-                    cloud, camera, settings, width=width, height=height,
-                    config=config, compressed=compressed, capacity=capacity,
-                    capacity_c=config.overflow_capacity_for(n_loc),
-                )
-            else:
-                cid_words = None
-                keys, payload, nvis, _, _, _ = fused_frontend(
-                    cloud, camera, settings, width=width, height=height,
-                    config=config, compressed=compressed, capacity=capacity,
-                )
-            num_visible_local = nvis
-        else:
-            pre = preprocess(
-                cloud, camera, settings, width=width, height=height,
-                config=config, compressed=compressed,
-                overflow_capacity=(
-                    config.overflow_capacity_for(cloud.opacity.shape[0])
-                    if overflow else 0
-                ),
-            )
-            keys, payload = pre.keys, pre.payload
-            cid_words = pre.clamped_words
-            num_visible_local = pre.num_visible
-        if overflow:
-            # full-coverage parity with the single-chip renderer: append the
-            # local shard's clamped-splat overflow tiles before the sort
-            from websplat_tpu.ops.preprocess import overflow_emit
-
-            okeys, owords, _resid = overflow_emit(
-                cid_words, width=width, height=height, config=config,
-            )
-            if okeys.shape[0] > 65536 and pallas_ok:
-                from websplat_tpu.ops.compact_pallas import (
-                    compact_instances as _ci,
-                )
-
-                ocap = min(cid_words[0].shape[0] * 16, okeys.shape[0])
-                okeys, owords, _, _ = _ci(okeys, owords, capacity=ocap)
-            keys = jnp.concatenate([keys, okeys])
-            payload = tuple(
-                jnp.concatenate([w, ow]) for w, ow in zip(payload, owords)
-            )
-        sk, sp = sort_instances(keys, payload, backend=config.sort_backend)
+        sk, sp = sort_instances(
+            keys, payload, backend=config.sort_backend, n_valid=n_valid
+        )
 
         # 2. cut the sorted stream into D region buffers (fixed capacity)
         region_starts = jnp.searchsorted(
@@ -258,9 +231,11 @@ def make_splat_sharded_renderer(
                 mp, ranges, background,
                 width=width, height=region_h, config=config,
             )
-        total_visible = lax.psum(num_visible_local, SPLAT_AXIS)
+        total_visible = lax.psum(stats["num_visible"], SPLAT_AXIS)
+        total_clamped = lax.psum(stats["num_clamped"], SPLAT_AXIS)
+        total_fe_dropped = lax.psum(stats["num_dropped"], SPLAT_AXIS)
         total_dropped = lax.psum(dropped, SPLAT_AXIS)
-        return img, total_visible, total_dropped
+        return img, total_visible, total_clamped, total_fe_dropped, total_dropped
 
     # splat axis is LAST for the column-major 2-D cloud leaves
     cloud_spec = DeviceCloud(
@@ -271,14 +246,17 @@ def make_splat_sharded_renderer(
     )
 
     def step(cloud, camera, settings, background):
-        img, vis, drop = jax.shard_map(
+        img, vis, clamp, fe_drop, drop = jax.shard_map(
             shard_fn,
             mesh=mesh,
             in_specs=(cloud_spec, P(), P(), P()),
-            out_specs=(P(SPLAT_AXIS), P(), P()),
+            out_specs=(P(SPLAT_AXIS), P(), P(), P(), P()),
             check_vma=False,
         )(cloud, camera, settings, background)
         # rows come back stacked; crop the bottom tile padding
-        return img[:height], dict(num_visible=vis, num_dropped_exchange=drop)
+        return img[:height], dict(
+            num_visible=vis, num_clamped=clamp, num_dropped=fe_drop,
+            num_dropped_exchange=drop,
+        )
 
     return jax.jit(step)

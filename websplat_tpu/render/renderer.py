@@ -294,8 +294,60 @@ def render_frame_impl(
             )
         else:
             cloud = decompress_cloud(cloud)
+    keys, payload, n_valid, stats = build_instance_stream(
+        cloud, camera, settings, width=width, height=height, config=config,
+        compressed=compressed, pallas_ok=pallas_ok,
+    )
+    sorted_keys, sorted_payload = sort_instances(
+        keys, payload, backend=config.sort_backend, n_valid=n_valid
+    )
+    tx, ty = config.tiles_for(width, height)
+    _, depth_bits = config.key_bits(width, height)
+    ranges = tile_ranges(sorted_keys, tx * ty, depth_bits)
+    if stop_after == "ranges":
+        return sorted_keys, sorted_payload, ranges
+
+    if config.raster_backend == "pallas" and pallas_ok:
+        from websplat_tpu.ops.rasterize_pallas import rasterize_pallas
+
+        img = rasterize_pallas(
+            sorted_payload, ranges, background, width=width, height=height, config=config
+        )
+    else:
+        from websplat_tpu.ops.rasterize_xla import rasterize_xla
+
+        img = rasterize_xla(
+            sorted_payload, ranges, background, width=width, height=height, config=config
+        )
+    if return_diag:
+        return img, dict(
+            num_instances=ranges[-1],
+            num_culled_dropped=num_culled_dropped,
+            **stats,
+        )
+    return img
+
+
+def build_instance_stream(
+    cloud: DeviceCloud,
+    camera: CameraParams,
+    settings: DeviceSettings,
+    *,
+    width: int,
+    height: int,
+    config: RasterConfig,
+    compressed: bool,
+    pallas_ok: bool,
+):
+    """Preprocess + emission + compaction + overflow splice -> the unsorted
+    instance stream: (keys, payload, n_valid, stats).
+
+    ``n_valid`` (traced i32 or None) is the sort-ladder prefix bound
+    (ops/sort.py); stats = dict(num_visible, num_clamped, num_dropped).
+    Shared by the single-chip frame (render_frame_impl) and the
+    splat-sharded shard body (parallel/sharded.py) so both get the fused
+    frontend's in-place overflow splice and the exact-cursor ladder."""
     tx_tiles, ty_tiles = config.tiles_for(width, height)
-    _, depth_bits_ = config.key_bits(width, height)
     # the fused frontend computes everything in-kernel; its limits are the
     # per-axis tile count (int packing of tile ids) and the slot walk tables.
     # Off-TPU the kernel runs through the interpreter as one giant unrolled
@@ -399,70 +451,45 @@ def render_frame_impl(
             else:
                 n_valid = n_valid + b
             num_clamped = num_clamped_resid
-        pre = None
-    else:
-        pre = preprocess(
-            cloud, camera, settings, width=width, height=height, config=config,
-            compressed=compressed,
-            overflow_capacity=(
-                config.overflow_capacity_for(cloud.opacity.shape[0])
-                if config.overflow_enabled else 0
-            ),
-        )
-        keys, payload = pre.keys, pre.payload
-        num_dropped = jnp.int32(0)
-        n_valid = None
-        if config.overflow_enabled:
-            # same full-coverage semantics as the fused path: append the
-            # clamped splats' remaining rect tiles (holey candidates — the
-            # compactor / sort downstream handle sentinels either way)
-            from websplat_tpu.ops.preprocess import overflow_emit
-
-            okeys, owords, _resid = overflow_emit(
-                pre.clamped_words, width=width, height=height, config=config,
-            )
-            keys = jnp.concatenate([keys, okeys])
-            payload = tuple(
-                jnp.concatenate([w, ow]) for w, ow in zip(payload, owords)
-            )
-        if config.compact and pallas_ok:
-            from websplat_tpu.ops.compact_pallas import compact_instances
-
-            n = cloud.opacity.shape[0]
-            capacity = max(4096, int(config.instance_capacity_factor * n))
-            keys, payload, _, num_dropped = compact_instances(
-                keys, payload, capacity=capacity
-            )
-    sorted_keys, sorted_payload = sort_instances(
-        keys, payload, backend=config.sort_backend, n_valid=n_valid
-    )
-    tx, ty = config.tiles_for(width, height)
-    _, depth_bits = config.key_bits(width, height)
-    ranges = tile_ranges(sorted_keys, tx * ty, depth_bits)
-    if stop_after == "ranges":
-        return sorted_keys, sorted_payload, ranges
-
-    if config.raster_backend == "pallas" and pallas_ok:
-        from websplat_tpu.ops.rasterize_pallas import rasterize_pallas
-
-        img = rasterize_pallas(
-            sorted_payload, ranges, background, width=width, height=height, config=config
-        )
-    else:
-        from websplat_tpu.ops.rasterize_xla import rasterize_xla
-
-        img = rasterize_xla(
-            sorted_payload, ranges, background, width=width, height=height, config=config
-        )
-    if return_diag:
-        return img, dict(
-            num_visible=num_visible if pre is None else pre.num_visible,
-            num_clamped=num_clamped if pre is None else pre.num_clamped,
-            num_instances=ranges[-1],
+        return keys, payload, n_valid, dict(
+            num_visible=num_visible, num_clamped=num_clamped,
             num_dropped=num_dropped,
-            num_culled_dropped=num_culled_dropped,
         )
-    return img
+    pre = preprocess(
+        cloud, camera, settings, width=width, height=height, config=config,
+        compressed=compressed,
+        overflow_capacity=(
+            config.overflow_capacity_for(cloud.opacity.shape[0])
+            if config.overflow_enabled else 0
+        ),
+    )
+    keys, payload = pre.keys, pre.payload
+    num_dropped = jnp.int32(0)
+    if config.overflow_enabled:
+        # same full-coverage semantics as the fused path: append the
+        # clamped splats' remaining rect tiles (holey candidates — the
+        # compactor / sort downstream handle sentinels either way)
+        from websplat_tpu.ops.preprocess import overflow_emit
+
+        okeys, owords, _resid = overflow_emit(
+            pre.clamped_words, width=width, height=height, config=config,
+        )
+        keys = jnp.concatenate([keys, okeys])
+        payload = tuple(
+            jnp.concatenate([w, ow]) for w, ow in zip(payload, owords)
+        )
+    if config.compact and pallas_ok:
+        from websplat_tpu.ops.compact_pallas import compact_instances
+
+        n = cloud.opacity.shape[0]
+        capacity = max(4096, int(config.instance_capacity_factor * n))
+        keys, payload, _, num_dropped = compact_instances(
+            keys, payload, capacity=capacity
+        )
+    return keys, payload, None, dict(
+        num_visible=pre.num_visible, num_clamped=pre.num_clamped,
+        num_dropped=num_dropped,
+    )
 
 
 render_frame = jax.jit(
