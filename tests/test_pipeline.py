@@ -129,6 +129,32 @@ def test_alpha_threshold_bounds(rng):
     assert np.array_equal(imgD, imgB)
 
 
+def test_overflow_capacity_residual_is_counted(rng):
+    """Clamped splats beyond the cid capture capacity keep only their first
+    tile_slots tiles — that loss MUST surface in num_clamped (the round-3
+    counter only saw giants among the captured stream and read 0 while ~18k
+    splats were silently truncated at bench scale).  Force it small: every
+    splat spans many tiles, capacity 128 < n_clamped."""
+    cloud = make_cloud(rng, n=300, scale_range=(-2.2, -1.6))  # multi-tile
+    cam = make_camera(viewport=(W, H))
+    cfg = RasterConfig(
+        raster_backend="xla", tile_slots=4, overflow_capacity=128
+    )
+    r = GaussianRenderer(cloud, cfg)
+    r.render(cam, (W, H), SplattingArgs(), with_diag=True)
+    d = r._last_diag
+    # most visible splats span > 4 tiles at this scale range; well over
+    # capacity 128 of them, so a nonzero residual MUST be reported
+    assert int(d["num_visible"]) > 200, d
+    assert int(d["num_clamped"]) >= int(d["num_visible"]) - 128 - 50, d
+    # and a generous capacity reports zero residual on the same scene
+    r2 = GaussianRenderer(
+        cloud, RasterConfig(raster_backend="xla", tile_slots=4)
+    )
+    r2.render(cam, (W, H), SplattingArgs(), with_diag=True)
+    assert int(r2._last_diag["num_clamped"]) == 0, r2._last_diag
+
+
 def test_num_visible_matches_oracle_count(rng):
     cloud = make_cloud(rng, n=300)
     cam = make_camera(viewport=(W, H))

@@ -60,20 +60,42 @@ class RasterConfig:
     # gaussian) get FULL dense-grid coverage for up to
     # overflow_grid_capacity of them — so coverage is unbounded, like the
     # reference's quads, for every realistic frame.
-    overflow_capacity: int = 8192
+    # Sizing (remeasured round 4, synthetic bonsai 1.24M splats at
+    # 1200x799 with trained-scene scale stats): 26,153 visible splats carry
+    # n_rect > 6 and 1,240 carry n_rect > 32 — the round-3 defaults
+    # (8192 / 128) silently truncated ~18k clamped splats to their first 6
+    # row-major tiles, a 20 dB full-scale PSNR failure the residual
+    # diagnostic did not count (it only saw giants among the captured
+    # 8192).  overflow_capacity is now a ceiling; the effective per-scene
+    # capacity scales as ~n/24 (overflow_capacity_for), and the residual
+    # diagnostic counts EVERY splat that lost coverage.
+    overflow_capacity: int = 1 << 20
     overflow_slots: int = 32
-    overflow_grid_capacity: int = 128
+    overflow_grid_capacity: int = 2048
 
     @property
     def overflow_enabled(self) -> bool:
         return self.overflow_capacity > 0 and self.overflow_slots > self.tile_slots
 
     def overflow_capacity_for(self, n: int) -> int:
-        """Effective clamped-splat capacity for an n-splat cloud: there can
-        never be more clamped splats than splats, so small scenes (tests,
-        previews) shrink the overflow stream instead of paying the static
-        worst case."""
-        return min(self.overflow_capacity, max(128, -(-n // 128) * 128))
+        """Effective clamped-splat capacity for an n-splat cloud: measured
+        clamped fraction is ~3% of splats at bonsai scale (trained-scene
+        size statistics), so ~n/24 (~4.2%) leaves margin; small scenes
+        (tests, previews) shrink the overflow stream instead of paying the
+        static worst case.  nonzero num_clamped in the frame diagnostics is
+        the resize signal."""
+        return min(self.overflow_capacity, max(128, -(-n // (24 * 128)) * 128))
+
+    def overflow_grid_capacity_for(self, capacity_c: int) -> int:
+        """Effective dense-grid giant capacity, scaled with the clamped-splat
+        capture capacity (giants are a subset of clamped splats): measured
+        ~1/21 of clamped splats exceed 32 tiles at bonsai scale, so
+        capacity_c/16 leaves margin.  The static ceiling bounds the grid's
+        n_tiles * g candidate rows; nonzero num_clamped diagnostics signal
+        an undersized grid."""
+        if self.overflow_grid_capacity <= 0:
+            return 0
+        return min(self.overflow_grid_capacity, max(128, capacity_c // 16))
 
     # Instance padding granularity (= the Pallas rasterizer DMA chunk).
     chunk_size: int = 1024

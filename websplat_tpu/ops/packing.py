@@ -182,11 +182,24 @@ def unpack_rgb9e5(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray
     return r, g, b
 
 
+# Power-of-two pre-scale applied to the conic halves/b before the f16
+# encode (decode divides it back out — EXACT in f32, no precision cost).
+# Why: f16 subnormals have a FIXED 2^-24 step, so a giant splat's conic
+# (half_a ~ 1/(2*sigma_px^2), subnormal once sigma ≳ 90 px) carried up to
+# ~6% relative error — measured as faint streak errors along big
+# anisotropic splats at bench scale (round 4).  Scaling by 2^10 moves the
+# subnormal onset to sigma ~ 2900 px while the top end stays far below
+# f16 max (conic <= 1/l2 <= 10 from the 0.1 eigenvalue clamp -> scaled
+# b <= 10240 << 65504).
+CONIC_SCALE = 1024.0
+INV_CONIC_SCALE = 1.0 / CONIC_SCALE
+
+
 def pack_record(px, py, half_a, b, half_c, opacity, rgb, q: CenterQuant):
     """-> tuple of 4 (N,) uint32 payload words; rgb = 3 (N,) channel arrays."""
     w0 = pack_center(px, py, q)
-    w1 = pack2xf16(half_a, b)
-    w2 = pack2xf16(half_c, opacity)
+    w1 = pack2xf16(half_a * CONIC_SCALE, b * CONIC_SCALE)
+    w2 = pack2xf16(half_c * CONIC_SCALE, opacity)
     w3 = pack_rgb9e5(rgb[0], rgb[1], rgb[2])
     return w0, w1, w2, w3
 
@@ -197,4 +210,5 @@ def unpack_record(w0, w1, w2, w3, q: CenterQuant):
     half_a, bb = unpack2xf16(w1)
     half_c, opacity = unpack2xf16(w2)
     r, g, b_col = unpack_rgb9e5(w3)
-    return px, py, half_a, bb, half_c, opacity, r, g, b_col
+    return (px, py, half_a * INV_CONIC_SCALE, bb * INV_CONIC_SCALE,
+            half_c * INV_CONIC_SCALE, opacity, r, g, b_col)

@@ -823,7 +823,7 @@ def overflow_emit(
     )
 
     # ---- GRID stage: giant splats (n_rect > overflow_slots) ----
-    g = int(config.overflow_grid_capacity)
+    g = int(config.overflow_grid_capacity_for(c))
     gmask = n_rect > config.overflow_slots
     n_giant = jnp.sum(gmask.astype(jnp.int32))
     residual = jnp.maximum(n_giant - g, 0)

@@ -318,9 +318,11 @@ def _make_kernel_mxu(
             cy_g = (w0 >> 16).astype(jnp.int32).astype(jnp.float32) * (
                 1.0 / cq.scale_y
             ) - cq.margin
-            ha_g = _f16_vec(w1)
-            hb_g = _f16_vec(w1 >> 16)
-            hc_g = _f16_vec(w2)
+            # conic halves carry the power-of-two record pre-scale
+            # (packing.CONIC_SCALE — subnormal-range giants; exact to undo)
+            ha_g = _f16_vec(w1) * packing.INV_CONIC_SCALE
+            hb_g = _f16_vec(w1 >> 16) * packing.INV_CONIC_SCALE
+            hc_g = _f16_vec(w2) * packing.INV_CONIC_SCALE
             op_g = _f16_vec(w2 >> 16)
             e9 = (w3 >> 27).astype(jnp.int32)
             scale9 = pltpu.bitcast(((e9 + 103) << 23).astype(jnp.uint32), jnp.float32)
@@ -650,9 +652,11 @@ def _make_kernel(
             cy_g = (w0 >> 16).astype(jnp.int32).astype(jnp.float32) * (
                 1.0 / cq.scale_y
             ) - cq.margin
-            ha_g = _f16_vec(w1)
-            hb_g = _f16_vec(w1 >> 16)
-            hc_g = _f16_vec(w2)
+            # conic halves carry the power-of-two record pre-scale
+            # (packing.CONIC_SCALE — subnormal-range giants; exact to undo)
+            ha_g = _f16_vec(w1) * packing.INV_CONIC_SCALE
+            hb_g = _f16_vec(w1 >> 16) * packing.INV_CONIC_SCALE
+            hc_g = _f16_vec(w2) * packing.INV_CONIC_SCALE
             op_g = _f16_vec(w2 >> 16)
             # RGB9E5 decode (packing.pack_rgb9e5): scale = 2^(e-24) built
             # directly in the f32 exponent field

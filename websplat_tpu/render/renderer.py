@@ -374,14 +374,24 @@ def build_instance_stream(
             cap_c = config.overflow_capacity_for(n)
             o_raw = (config.overflow_slots - config.tile_slots) * cap_c
             if config.overflow_grid_capacity > 0:
-                o_raw += tx_tiles * ty_tiles * config.overflow_grid_capacity
+                o_raw += (
+                    tx_tiles * ty_tiles
+                    * config.overflow_grid_capacity_for(cap_c)
+                )
             o_compact = o_raw > 65536 and pallas_ok
             if o_compact:
                 # the compactor pads its output to a block multiple + one
                 # block (ops/compact_pallas.py:compact_instances)
                 from websplat_tpu.ops.compact_pallas import BLOCK as _CBLK
 
-                ocap = min(cap_c * 16, o_raw)
+                # compacted-overflow capacity: ~16 walk tiles per clamped
+                # splat PLUS dense-grid room for ~4 screen-filling giants —
+                # cap_c*16 alone starves small scenes with one giant (a
+                # single screen-filler needs ~tx*ty tiles; measured: one
+                # wide splat dropped 1920 of its 2355 tiles at n=3)
+                ocap = min(
+                    cap_c * 16 + tx_tiles * ty_tiles * 4, o_raw
+                )
                 b = -(-ocap // _CBLK) * _CBLK + _CBLK
             else:
                 b = o_raw
@@ -450,7 +460,15 @@ def build_instance_stream(
                 n_valid = n_valid + jnp.minimum(o_count + 127 * o_src_blocks, b)
             else:
                 n_valid = n_valid + b
-            num_clamped = num_clamped_resid
+            # residual = splats that LOST coverage: giants beyond the grid
+            # capacity among the captured cid stream, PLUS every clamped
+            # splat beyond the cid capture capacity itself (those keep only
+            # their first tile_slots row-major tiles).  The round-3 counter
+            # missed the second term — 18k silently truncated splats at
+            # bonsai scale read as num_clamped=0.
+            num_clamped = num_clamped_resid + jnp.maximum(
+                num_clamped - jnp.int32(cap_c), 0
+            )
         return keys, payload, n_valid, dict(
             num_visible=num_visible, num_clamped=num_clamped,
             num_dropped=num_dropped,
@@ -465,18 +483,25 @@ def build_instance_stream(
     )
     keys, payload = pre.keys, pre.payload
     num_dropped = jnp.int32(0)
+    num_clamped = pre.num_clamped
     if config.overflow_enabled:
         # same full-coverage semantics as the fused path: append the
         # clamped splats' remaining rect tiles (holey candidates — the
         # compactor / sort downstream handle sentinels either way)
         from websplat_tpu.ops.preprocess import overflow_emit
 
-        okeys, owords, _resid = overflow_emit(
+        okeys, owords, o_resid = overflow_emit(
             pre.clamped_words, width=width, height=height, config=config,
         )
         keys = jnp.concatenate([keys, okeys])
         payload = tuple(
             jnp.concatenate([w, ow]) for w, ow in zip(payload, owords)
+        )
+        # residual accounting parity with the fused path: grid-capacity
+        # overflow among captured splats + clamped splats beyond capture
+        cap_nf = config.overflow_capacity_for(cloud.opacity.shape[0])
+        num_clamped = o_resid + jnp.maximum(
+            pre.num_clamped - jnp.int32(cap_nf), 0
         )
     if config.compact and pallas_ok:
         from websplat_tpu.ops.compact_pallas import compact_instances
@@ -486,8 +511,21 @@ def build_instance_stream(
         keys, payload, _, num_dropped = compact_instances(
             keys, payload, capacity=capacity
         )
+    else:
+        # the Pallas rasterizer DMAs the stream in chunk_size blocks (and
+        # prefetches one past the ranges end): pad the holey uncompacted
+        # stream to a chunk multiple plus one sentinel tail chunk
+        cs = config.chunk_size
+        pad = (-keys.shape[0]) % cs + cs
+        keys = jnp.concatenate(
+            [keys, jnp.full((pad,), np.uint32(0xFFFFFFFF), jnp.uint32)]
+        )
+        payload = tuple(
+            jnp.concatenate([w, jnp.zeros((pad,), jnp.uint32)])
+            for w in payload
+        )
     return keys, payload, None, dict(
-        num_visible=pre.num_visible, num_clamped=pre.num_clamped,
+        num_visible=pre.num_visible, num_clamped=num_clamped,
         num_dropped=num_dropped,
     )
 
