@@ -137,16 +137,19 @@ def test_overflow_capacity_residual_is_counted(rng):
     splat spans many tiles, capacity 128 < n_clamped."""
     cloud = make_cloud(rng, n=300, scale_range=(-2.2, -1.6))  # multi-tile
     cam = make_camera(viewport=(W, H))
-    cfg = RasterConfig(
-        raster_backend="xla", tile_slots=4, overflow_capacity=128
-    )
-    r = GaussianRenderer(cloud, cfg)
-    r.render(cam, (W, H), SplattingArgs(), with_diag=True)
-    d = r._last_diag
-    # most visible splats span > 4 tiles at this scale range; well over
-    # capacity 128 of them, so a nonzero residual MUST be reported
-    assert int(d["num_visible"]) > 200, d
-    assert int(d["num_clamped"]) >= int(d["num_visible"]) - 128 - 50, d
+
+    def clamped_at(capacity):
+        r = GaussianRenderer(cloud, RasterConfig(
+            raster_backend="xla", tile_slots=4, overflow_capacity=capacity
+        ))
+        r.render(cam, (W, H), SplattingArgs(), with_diag=True)
+        return int(r._last_diag["num_clamped"])
+
+    c128, c64 = clamped_at(128), clamped_at(64)
+    # residual = total_clamped - capacity (no grid residue possible at this
+    # tile count), so shrinking capacity by 64 must surface EXACTLY 64 more
+    assert c128 > 0, (c64, c128)
+    assert c64 - c128 == 64, (c64, c128)
     # and a generous capacity reports zero residual on the same scene
     r2 = GaussianRenderer(
         cloud, RasterConfig(raster_backend="xla", tile_slots=4)

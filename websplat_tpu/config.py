@@ -80,11 +80,15 @@ class RasterConfig:
     def overflow_capacity_for(self, n: int) -> int:
         """Effective clamped-splat capacity for an n-splat cloud: measured
         clamped fraction is ~3% of splats at bonsai scale (trained-scene
-        size statistics), so ~n/24 (~4.2%) leaves margin; small scenes
-        (tests, previews) shrink the overflow stream instead of paying the
-        static worst case.  nonzero num_clamped in the frame diagnostics is
-        the resize signal."""
-        return min(self.overflow_capacity, max(128, -(-n // (24 * 128)) * 128))
+        size statistics), so ~n/24 (~4.2%) leaves margin; scenes up to 2048
+        splats get capacity n outright (synthetic/test scenes can be 100%
+        clamped — every splat huge — and are cheap either way).  nonzero
+        num_clamped in the frame diagnostics is the resize signal."""
+        full_small = min(-(-n // 128) * 128, 2048)
+        return min(
+            self.overflow_capacity,
+            max(full_small, -(-n // (24 * 128)) * 128),
+        )
 
     def overflow_grid_capacity_for(self, capacity_c: int) -> int:
         """Effective dense-grid giant capacity, scaled with the clamped-splat

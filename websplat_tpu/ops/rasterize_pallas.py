@@ -82,6 +82,45 @@ def _f16_vec(bits_u32):
     return jnp.where(exp == 0, sub, val)
 
 
+def _e5m12_vec(bits_u32):
+    """Vectorized UNSIGNED e5m12 decode (the conic codec,
+    packing.e5m12_bits_to_f32): u32 low 17 bits -> f32, exact incl.
+    subnormals (value = man * 2^-26).  Same structure as _f16_vec with the
+    wider mantissa; no sign bit — the conic diagonal is PSD-non-negative."""
+    h = bits_u32 & 0x1FFFF
+    exp = (h >> 12) & 0x1F
+    man = h & 0xFFF
+    f32_bits = ((exp + 112) << 23) | (man << 11)
+    val = pltpu.bitcast(f32_bits.astype(jnp.uint32), jnp.float32)
+    sub = man.astype(jnp.int32).astype(jnp.float32) * 1.4901161e-8
+    return jnp.where(exp == 0, sub, val)
+
+
+def _decode_conic_op(w1, w2):
+    """(w1, w2) record words -> (half_a, b, half_c, opacity), f32.
+
+    Field layout (packing.pack_record): w1 = A17 | C_low15<<17,
+    w2 = C_high2 | RHO16<<2 | OP12<<18; A/C unsigned e5m12 of the
+    CONIC_SCALE-pre-scaled halves, RHO16 the fixed-point correlation
+    (B is REBUILT as rho * 2 sqrt(A'C') — PSD by construction, no
+    disc cancellation; see packing.py), OP12 the sqrt-domain opacity.
+    Garbage lanes (uninitialized HBM tails) decode to large-but-FINITE
+    conic values (exp=31 -> 2^16 scale), which the discard comparison
+    rejects; opacity of sentinel rows (w2 == 0) decodes to exactly 0."""
+    inv = packing.INV_CONIC_SCALE
+    ha = _e5m12_vec(w1) * inv
+    hc = _e5m12_vec((w1 >> 17) | ((w2 & 0x3) << 15)) * inv
+    rho = ((w2 >> 2) & 0xFFFF).astype(jnp.int32).astype(jnp.float32) * (
+        2.0 / 65535.0
+    ) - 1.0
+    hb = (rho * float(packing.RHO_DECODE) * 2.0) * jnp.sqrt(ha * hc)
+    u = ((w2 >> 18) & 0xFFF).astype(jnp.int32).astype(jnp.float32) * (
+        1.0 / 4095.0
+    )
+    op = u * u
+    return ha, hb, hc, op
+
+
 def _gm_shuffle(s):
     """(8, 128) row-major chunk tile -> (8, 128) permuted group-major.
 
@@ -318,12 +357,7 @@ def _make_kernel_mxu(
             cy_g = (w0 >> 16).astype(jnp.int32).astype(jnp.float32) * (
                 1.0 / cq.scale_y
             ) - cq.margin
-            # conic halves carry the power-of-two record pre-scale
-            # (packing.CONIC_SCALE — subnormal-range giants; exact to undo)
-            ha_g = _f16_vec(w1) * packing.INV_CONIC_SCALE
-            hb_g = _f16_vec(w1 >> 16) * packing.INV_CONIC_SCALE
-            hc_g = _f16_vec(w2) * packing.INV_CONIC_SCALE
-            op_g = _f16_vec(w2 >> 16)
+            ha_g, hb_g, hc_g, op_g = _decode_conic_op(w1, w2)
             e9 = (w3 >> 27).astype(jnp.int32)
             scale9 = pltpu.bitcast(((e9 + 103) << 23).astype(jnp.uint32), jnp.float32)
             r_g = (w3 & 0x1FF).astype(jnp.int32).astype(jnp.float32) * scale9
@@ -652,12 +686,7 @@ def _make_kernel(
             cy_g = (w0 >> 16).astype(jnp.int32).astype(jnp.float32) * (
                 1.0 / cq.scale_y
             ) - cq.margin
-            # conic halves carry the power-of-two record pre-scale
-            # (packing.CONIC_SCALE — subnormal-range giants; exact to undo)
-            ha_g = _f16_vec(w1) * packing.INV_CONIC_SCALE
-            hb_g = _f16_vec(w1 >> 16) * packing.INV_CONIC_SCALE
-            hc_g = _f16_vec(w2) * packing.INV_CONIC_SCALE
-            op_g = _f16_vec(w2 >> 16)
+            ha_g, hb_g, hc_g, op_g = _decode_conic_op(w1, w2)
             # RGB9E5 decode (packing.pack_rgb9e5): scale = 2^(e-24) built
             # directly in the f32 exponent field
             e9 = (w3 >> 27).astype(jnp.int32)
