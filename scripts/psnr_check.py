@@ -88,7 +88,8 @@ def main():
             f"instances={int(d['num_instances'])} dropped={int(d['num_dropped'])}"
         )
         print(f"[{name}] PSNR vs oracle: {p:.2f} dB "
-              f"(budget: f16 record + RGB9E5 + depth quantization + tie order)")
+              f"(budget: e5m12+rho16 conic + RGB9E5 + u16 center + "
+              f"22-bit depth + tie order)")
         results.append(dict(
             variant=name, psnr_db=round(float(p), 2),
             visible=int(d["num_visible"]), instances=int(d["num_instances"]),

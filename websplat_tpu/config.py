@@ -128,6 +128,14 @@ class RasterConfig:
     #   thr=1/128  : 16.00 ms  n_inst=1,645,835   (beyond reference discard)
     # (The round-3 "no instance cut" verdict was an artifact of the legacy
     # synthetic opacity draw having no low-alpha tail; see tests/synth.py.)
+    # Full-scale PSNR vs the exact oracle (PSNR_r04.json, post overflow +
+    # record fixes): thr=1/255 63.25 dB, thr=0 60.24, 1/512 60.09,
+    # 1/128 59.89.  thr=0 scoring BELOW the default is not a coverage
+    # artifact (num_clamped = num_dropped = 0): the extra fringe tiles it
+    # renders lie on sub-pixel-width needles where the u16 center
+    # quantization (~0.012 px half-step vs ~0.4 px minor sigma) dominates
+    # the per-pixel profile error, so rendering more of those fringes adds
+    # more (bounded) quantization error than it removes cull divergence.
     alpha_threshold: float = 1.0 / 255.0
 
     # Compressed-residency cull-before-gather: when > 0, the compressed
