@@ -81,13 +81,16 @@ def main():
     dset = settings_to_device(settings)
 
     cap_c = config.overflow_capacity_for(n)
-    g_eff = config.overflow_grid_capacity_for(cap_c)
+    g1 = config.overflow_grid_capacity_for(cap_c)
+    g2 = config.overflow_dense_capacity_for(cap_c)
     tx, ty = config.tiles_for(width, height)
-    o_raw = (config.overflow_slots - config.tile_slots) * cap_c + tx * ty * g_eff
+    walk_rows = (config.overflow_slots - config.tile_slots) * cap_c
+    win_rows = (config.overflow_window_slots - config.overflow_slots) * g1
+    dense_rows = tx * ty * g2
+    o_raw = walk_rows + win_rows + dense_rows
     print(
-        f"cap_c={cap_c} grid={g_eff} walk_rows="
-        f"{(config.overflow_slots - config.tile_slots) * cap_c} "
-        f"grid_rows={tx * ty * g_eff} o_raw={o_raw}"
+        f"cap_c={cap_c} g1={g1} g2={g2} walk_rows={walk_rows} "
+        f"window_rows={win_rows} dense_rows={dense_rows} o_raw={o_raw}"
     )
 
     capacity = max(4096, int(config.instance_capacity_factor * n))
@@ -121,7 +124,7 @@ def main():
     t_emit = timed(plus_emit, dc, dcam, dset)
     print(f"+ overflow_emit        : {t_emit:7.2f} ms  (emit ~ {t_emit - t_fe:.2f})")
 
-    ocap = min(cap_c * 16 + tx * ty * 4, o_raw)
+    ocap = min(cap_c * 12 + tx * ty * 4, o_raw)
 
     def plus_compact(dc, dcam, dset, salt):
         c = dcam._replace(view=dcam.view + salt.astype(jnp.float32) * 1e-12)

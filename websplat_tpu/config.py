@@ -90,16 +90,33 @@ class RasterConfig:
             max(full_small, -(-n // (24 * 128)) * 128),
         )
 
+    # Rank ceiling of the giant WINDOW stage (overflow_emit): giants
+    # (n_rect > overflow_slots) get a row-major rank walk over their
+    # GATHERED rows up to this rank; only splats beyond it (57 of 1.24M at
+    # bonsai scale, measured) fall to the dense per-tile grid.  This keeps
+    # the candidate stream ~2x smaller than a dense grid for every giant
+    # (the grid's n_tiles * capacity rows dominated the overflow cost).
+    overflow_window_slots: int = 160
+
     def overflow_grid_capacity_for(self, capacity_c: int) -> int:
-        """Effective dense-grid giant capacity, scaled with the clamped-splat
-        capture capacity (giants are a subset of clamped splats): measured
-        ~1/21 of clamped splats exceed 32 tiles at bonsai scale, so
-        capacity_c/16 leaves margin.  The static ceiling bounds the grid's
-        n_tiles * g candidate rows; nonzero num_clamped diagnostics signal
-        an undersized grid."""
+        """Effective giant WINDOW capacity (splats with n_rect >
+        overflow_slots), scaled with the clamped-splat capture capacity:
+        measured ~1/21 of clamped splats exceed 32 tiles at bonsai scale,
+        so capacity_c/16 leaves margin.  nonzero num_clamped diagnostics
+        signal undersizing."""
         if self.overflow_grid_capacity <= 0:
             return 0
         return min(self.overflow_grid_capacity, max(128, capacity_c // 16))
+
+    def overflow_dense_capacity_for(self, capacity_c: int) -> int:
+        """Effective DENSE-grid capacity (splats with n_rect >
+        overflow_window_slots — the extreme tail: 57 at bonsai scale vs
+        capacity_c/256 = 203): the n_tiles * g2 candidate rows this
+        allocates are the most expensive per splat, so the class is kept
+        small; nonzero num_clamped diagnostics signal undersizing."""
+        if self.overflow_grid_capacity <= 0:
+            return 0
+        return min(self.overflow_grid_capacity, max(64, capacity_c // 256))
 
     # Instance padding granularity (= the Pallas rasterizer DMA chunk).
     chunk_size: int = 1024

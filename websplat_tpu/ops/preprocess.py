@@ -752,22 +752,25 @@ def overflow_emit(
     boundary-tile flip at the quantization scale changes contributions only
     below the 2*CUTOFF discard).
 
-    Two stages:
+    Three stages (coverage-complete union by row-major rank):
 
-    1. WALK stage — row-major rect-walk ranks [tile_slots, overflow_slots);
-       the main pass emitted ranks [0, tile_slots) row-major, so the union
-       is exact full coverage for n_rect <= overflow_slots.
-    2. GRID stage — for up to overflow_grid_capacity GIANT splats
-       (n_rect > overflow_slots, e.g. a screen-filling floor gaussian), a
-       dense (n_tiles, G) emission of every remaining rect tile
-       (row-major rank >= overflow_slots, reach-culled) — no per-rank walk,
-       so coverage is unbounded regardless of rect size.
+    1. WALK — ranks [tile_slots, overflow_slots) over EVERY cid row; the
+       main pass emitted ranks [0, tile_slots) row-major, so the union is
+       exact full coverage for n_rect <= overflow_slots.
+    2. WINDOW — ranks [overflow_slots, overflow_window_slots) over the
+       GATHERED giant rows (n_rect > overflow_slots, up to
+       overflow_grid_capacity_for of them): covers the bulk of giant tiles
+       at (window - slots) * g rows instead of a dense grid's n_tiles * g.
+    3. DENSE grid — the extreme tail (n_rect > overflow_window_slots, 57
+       of 1.24M splats measured at bonsai scale; up to
+       overflow_dense_capacity_for): a dense (n_tiles, G2) emission of
+       every remaining rect tile (rank >= window_slots, reach-culled) —
+       no per-rank walk, so coverage is unbounded regardless of rect size.
 
     Together this restores the reference's unbounded quad coverage
     (/root/reference/src/shaders/gaussian.wgsl:47-53,
-    preprocess.wgsl:242-251) for every frame with <= overflow_capacity
-    clamped and <= overflow_grid_capacity giant splats; anything beyond is
-    counted in the residual diagnostic.
+    preprocess.wgsl:242-251) for every frame within the static class
+    capacities; anything beyond is counted in the residual diagnostic.
 
     Returns (keys, words4, num_clamped_residual): a flat candidate stream
     (invalid-key holes, NOT compacted) and the count of giant splats beyond
@@ -822,52 +825,93 @@ def overflow_emit(
         for w in (w0, w1, w2, w3)
     )
 
-    # ---- GRID stage: giant splats (n_rect > overflow_slots) ----
+    # ---- WINDOW stage: giants' ranks [overflow_slots, window_slots) over
+    # the GATHERED giant rows (n_rect > overflow_slots).  A dense per-tile
+    # grid for EVERY giant costs n_tiles * g candidate rows (the dominant
+    # overflow cost, measured 2.14 ms of emit at bonsai scale); the window
+    # covers the bulk of giant tiles at (window - slots) * g rows, leaving
+    # only the extreme tail (57 of 1.24M splats measured) to the grid. ----
+    residual = jnp.int32(0)
     g = int(config.overflow_grid_capacity_for(c))
-    gmask = n_rect > config.overflow_slots
-    n_giant = jnp.sum(gmask.astype(jnp.int32))
-    residual = jnp.maximum(n_giant - g, 0)
-    if g > 0:
+    w_slots = int(config.overflow_window_slots)
+    if g > 0 and w_slots > config.overflow_slots:
+        gmask = n_rect > config.overflow_slots
+        n_giant = jnp.sum(gmask.astype(jnp.int32))
+        residual = residual + jnp.maximum(n_giant - g, 0)
         (gids,) = jnp.nonzero(gmask, size=g, fill_value=c)
         gvalid = gids < c
         gi = jnp.where(gvalid, gids, 0)
-        # per-giant row data (all shapes (g,))
-        tx0g, tx1g = tx0[gi], tx1[gi]
-        ty0g, ty1g = ty0[gi], ty1[gi]
-        wtg = w_t[gi]
-        dqg, visg = depth_q[gi], gvalid
+        tx0g, ty0g = tx0[gi], ty0[gi]
+        wtg = jnp.maximum(w_t[gi], 1)
+        n_rectg = n_rect[gi]
+        dqg = depth_q[gi]
         wg = tuple(w[gi] for w in (w0, w1, w2, w3))
         greaches = make_reaches(
             px[gi], py[gi], half_a[gi], conic_b[gi], half_c[gi], a_max[gi],
             config.tile_w, config.tile_h,
         )
-        # dense (n_tiles, g) emission: tile axis FIRST so the captured
-        # per-splat (g,) arrays broadcast along the trailing axis
+        wkeys = []
+        for j in range(config.overflow_slots, w_slots):
+            dy = j // wtg
+            dx = j - dy * wtg
+            tx = tx0g + dx
+            ty = ty0g + dy
+            ok = gvalid & (j < n_rectg) & greaches(tx, ty)
+            tile = (ty * tx_tiles + tx).astype(jnp.uint32)
+            wkeys.append(
+                jnp.where(ok, (tile << np.uint32(depth_bits)) | dqg, invalid)
+            )
+        kw = len(wkeys)
+        keys = jnp.concatenate([keys, jnp.stack(wkeys, axis=0).reshape(-1)])
+        words = tuple(
+            jnp.concatenate(
+                [wk, jnp.broadcast_to(wv[None, :], (kw, g)).reshape(-1)]
+            )
+            for wk, wv in zip(words, wg)
+        )
+
+    # ---- DENSE grid stage: the extreme tail (n_rect > window_slots) ----
+    g2 = int(config.overflow_dense_capacity_for(c))
+    if g2 > 0 and w_slots > config.overflow_slots:
+        mmask = n_rect > w_slots
+        n_mega = jnp.sum(mmask.astype(jnp.int32))
+        residual = residual + jnp.maximum(n_mega - g2, 0)
+        (mids,) = jnp.nonzero(mmask, size=g2, fill_value=c)
+        mvalid = mids < c
+        mi = jnp.where(mvalid, mids, 0)
+        tx0m, tx1m = tx0[mi], tx1[mi]
+        ty0m, ty1m = ty0[mi], ty1[mi]
+        wtm = jnp.maximum(w_t[mi], 1)
+        dqm = depth_q[mi]
+        wm = tuple(w[mi] for w in (w0, w1, w2, w3))
+        mreaches = make_reaches(
+            px[mi], py[mi], half_a[mi], conic_b[mi], half_c[mi], a_max[mi],
+            config.tile_w, config.tile_h,
+        )
+        # dense (n_tiles, g2) emission: tile axis FIRST so the captured
+        # per-splat (g2,) arrays broadcast along the trailing axis
         n_tiles = tx_tiles * ty_tiles
         tid = jnp.arange(n_tiles, dtype=jnp.int32)[:, None]  # (n_tiles, 1)
         ttx = tid % tx_tiles
         tty = tid // tx_tiles
         in_rect = (
-            (ttx >= tx0g) & (ttx <= tx1g) & (tty >= ty0g) & (tty <= ty1g)
+            (ttx >= tx0m) & (ttx <= tx1m) & (tty >= ty0m) & (tty <= ty1m)
         )
-        # row-major walk rank of this tile — ranks < overflow_slots were
-        # emitted by the main pass + walk stage; duplicates double-blend
-        rank = (tty - ty0g) * wtg + (ttx - tx0g)
-        ok = (
-            visg & in_rect & (rank >= config.overflow_slots)
-            & greaches(ttx, tty)
-        )
+        # row-major rank of this tile — ranks < window_slots were emitted
+        # by the main pass + walk + window stages; duplicates double-blend
+        rank = (tty - ty0m) * wtm + (ttx - tx0m)
+        ok = mvalid & in_rect & (rank >= w_slots) & mreaches(ttx, tty)
         gkeys = jnp.where(
             ok,
             ((tty * tx_tiles + ttx).astype(jnp.uint32) << np.uint32(depth_bits))
-            | dqg,
+            | dqm,
             invalid,
         ).reshape(-1)
         keys = jnp.concatenate([keys, gkeys])
         words = tuple(
             jnp.concatenate(
-                [wk, jnp.broadcast_to(wv, (n_tiles, g)).reshape(-1)]
+                [wk, jnp.broadcast_to(wv, (n_tiles, g2)).reshape(-1)]
             )
-            for wk, wv in zip(words, wg)
+            for wk, wv in zip(words, wm)
         )
     return keys, words, residual

@@ -373,10 +373,18 @@ def build_instance_stream(
             # concatenate copy of all five full-capacity words
             cap_c = config.overflow_capacity_for(n)
             o_raw = (config.overflow_slots - config.tile_slots) * cap_c
-            if config.overflow_grid_capacity > 0:
+            if (
+                config.overflow_grid_capacity > 0
+                and config.overflow_window_slots > config.overflow_slots
+            ):
+                # giant WINDOW walk + extreme-tail dense grid
+                # (overflow_emit's three-stage structure)
+                o_raw += (
+                    config.overflow_window_slots - config.overflow_slots
+                ) * config.overflow_grid_capacity_for(cap_c)
                 o_raw += (
                     tx_tiles * ty_tiles
-                    * config.overflow_grid_capacity_for(cap_c)
+                    * config.overflow_dense_capacity_for(cap_c)
                 )
             o_compact = o_raw > 65536 and pallas_ok
             if o_compact:
@@ -384,13 +392,14 @@ def build_instance_stream(
                 # block (ops/compact_pallas.py:compact_instances)
                 from websplat_tpu.ops.compact_pallas import BLOCK as _CBLK
 
-                # compacted-overflow capacity: ~16 walk tiles per clamped
-                # splat PLUS dense-grid room for ~4 screen-filling giants —
-                # cap_c*16 alone starves small scenes with one giant (a
-                # single screen-filler needs ~tx*ty tiles; measured: one
+                # compacted-overflow capacity: ~12 overflow tiles per
+                # clamped splat (measured 8.3 average at bonsai scale) PLUS
+                # dense-grid room for ~4 screen-filling giants — a
+                # per-splat bound alone starves small scenes with one giant
+                # (a single screen-filler needs ~tx*ty tiles; measured: one
                 # wide splat dropped 1920 of its 2355 tiles at n=3)
                 ocap = min(
-                    cap_c * 16 + tx_tiles * ty_tiles * 4, o_raw
+                    cap_c * 12 + tx_tiles * ty_tiles * 4, o_raw
                 )
                 b = -(-ocap // _CBLK) * _CBLK + _CBLK
             else:
