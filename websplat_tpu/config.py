@@ -172,10 +172,14 @@ class RasterConfig:
     # every fragment back-to-front with no early out
     # (/root/reference/src/shaders/gaussian.wgsl:59-67); front-to-back with
     # T < eps cutoff is mathematically identical up to eps (the dropped
-    # tail contributes < eps per channel, i.e. a >=60 dB floor at 1e-3).
-    # 0.0 disables.  Measured (TPU, bonsai bench): 1e-4 -> 50.7 FPS,
-    # 1e-3 -> 54.6 FPS via earlier segment-saturation exits.
-    transmittance_eps: float = 1e-3
+    # tail contributes < eps per channel).  0.0 disables.
+    # Default 4e-3 since round 4 (~ one 8-bit display quantization step,
+    # the same budget that justifies alpha_threshold=1/255): TPU-measured
+    # at the trained-opacity bonsai bench 52.03 -> 54.30 FPS vs eps=1e-3,
+    # full-scale PSNR 63.25 -> 63.14 dB (PSNR_r04.json).  History: 1e-4 ->
+    # 50.7 FPS, 1e-3 -> 54.6 (round-3 legacy scene).  1e-2 measured 62.56
+    # dB but crosses the display-step error argument, so it stays opt-in.
+    transmittance_eps: float = 4e-3
 
     # Skip blending for 8-splat groups with no contribution (branchy but
     # saves work in sparse tiles).
