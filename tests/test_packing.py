@@ -43,16 +43,15 @@ def test_e5m12_hand_fixture():
     np.testing.assert_array_equal(back, vals)
 
 
-def test_e5m12_rtz_never_exceeds():
-    rng = np.random.default_rng(1)
-    x = np.float32(rng.lognormal(-4, 4, 50000)) * np.float32(
-        np.sign(rng.normal(size=50000))
-    )
-    dec = np.asarray(
-        P.e5m12s_bits_to_f32(P.f32_to_e5m12s_bits_rtz(jnp.asarray(x)))
-    )
-    assert (np.abs(dec) <= np.abs(x)).all()
-    assert (np.sign(dec[dec != 0]) == np.sign(x[dec != 0])).all()
+def test_e5m12_max_clamp_stays_in_exp30():
+    # E5M12_MAX is the largest exponent-field-30 value; the clamp + RTNE
+    # must never carry into exponent field 31 (ADVICE r4: the old 65532
+    # clamp rounded up to a field-31 code)
+    vals = np.float32([65528.0, 65530.0, 1e9, np.float32(P.E5M12_MAX)])
+    bits = np.asarray(P.f32_to_e5m12_bits(jnp.asarray(vals)))
+    assert ((bits >> 12) <= 30).all()
+    back = np.asarray(P.e5m12_bits_to_f32(jnp.asarray(bits)))
+    assert (back == 65528.0).all()
 
 
 def test_op12_codec():
@@ -66,7 +65,9 @@ def test_op12_codec():
 
 def test_record_psd_guarantee_on_needles():
     """Decoded quadratic form must be STRICTLY PSD even for rho -> +-1
-    diagonal needles (the clamp + round-toward-zero b encode)."""
+    diagonal needles: the rho16 codec rebuilds B from the DECODED diagonal
+    with |rho| <= 1 - 2^-15 strictly (packing.pack_record), so
+    disc = 4 A'C'(1 - rho^2) > 0 by construction."""
     rng = np.random.default_rng(2)
     n = 50000
     # production conic range: eigenvalue clamp 0.1 bounds entries by 10

@@ -120,18 +120,20 @@ def unpack2xf16(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 # CONIC_SCALE pre-scale argument is unchanged.  All integer math (Mosaic
 # has no f16 vector casts, and there is no hardware e5m12 anyway).
 
-E5M12_MAX = np.float32(65532.0)  # (2 - 2^-12) * 2^15
+E5M12_MAX = np.float32(65528.0)  # (2 - 2^-12) * 2^15 — largest exp-field-30
+# value, so the RTNE encode below never carries into exponent field 31
 
 
-def f32_to_e5m12_bits(x: jnp.ndarray, rtz: bool = False) -> jnp.ndarray:
+def f32_to_e5m12_bits(x: jnp.ndarray) -> jnp.ndarray:
     """|x| -> u32 with the UNSIGNED e5m12 pattern (17 value bits) in the
     low bits; exact RTNE like f32_to_f16_bits (M=12 variant: normal
     threshold e>=113 is bias-determined and unchanged; subnormal shift
     s = 136 - 12 - e; round-to-zero below e = 112 - 12).
 
-    ``rtz=True`` truncates instead (round toward zero): the decoded
-    magnitude never exceeds |x| — the PSD guarantee for the conic
-    off-diagonal needs this (see pack_record)."""
+    The codec needs no directed-rounding variant: PSD-ness of the decoded
+    conic comes from the rho16 off-diagonal derivation (the decoder
+    rebuilds B from the DECODED diagonal with |rho| < 1 strictly — see
+    pack_record), not from any rounding discipline on a/c."""
     xa = jnp.minimum(jnp.abs(x), E5M12_MAX)
     bits = lax.bitcast_convert_type(xa.astype(jnp.float32), jnp.uint32)
     e = (bits >> np.uint32(23)).astype(jnp.int32)
@@ -140,24 +142,18 @@ def f32_to_e5m12_bits(x: jnp.ndarray, rtz: bool = False) -> jnp.ndarray:
     base = (
         ((e - 112).astype(jnp.uint32) << np.uint32(12)) | (m >> np.uint32(11))
     )
-    if rtz:
-        norm = base
-    else:
-        r = m & np.uint32(0x7FF)
-        inc_n = (r > 0x400) | ((r == 0x400) & (((m >> np.uint32(11)) & 1) == 1))
-        norm = base + inc_n.astype(jnp.uint32)
+    r = m & np.uint32(0x7FF)
+    inc_n = (r > 0x400) | ((r == 0x400) & (((m >> np.uint32(11)) & 1) == 1))
+    norm = base + inc_n.astype(jnp.uint32)
 
     mf = m | np.uint32(0x800000)
     s = jnp.clip(124 - e, 1, 31).astype(jnp.uint32)
     kept = mf >> s
-    if rtz:
-        sub = kept
-    else:
-        rbit = (mf >> (s - np.uint32(1))) & 1
-        low_mask = (jnp.ones_like(mf) << (s - np.uint32(1))) - np.uint32(1)
-        sticky = (mf & low_mask) != 0
-        inc_s = (rbit == 1) & (sticky | ((kept & 1) == 1))
-        sub = kept + inc_s.astype(jnp.uint32)
+    rbit = (mf >> (s - np.uint32(1))) & 1
+    low_mask = (jnp.ones_like(mf) << (s - np.uint32(1))) - np.uint32(1)
+    sticky = (mf & low_mask) != 0
+    inc_s = (rbit == 1) & (sticky | ((kept & 1) == 1))
+    sub = kept + inc_s.astype(jnp.uint32)
 
     return jnp.where(
         e >= 113, norm, jnp.where(e >= 100, sub, jnp.uint32(0))
@@ -176,25 +172,6 @@ def e5m12_bits_to_f32(bits: jnp.ndarray) -> jnp.ndarray:
     # subnormal value = man * 2^-26
     sub = man.astype(jnp.float32) * np.float32(1.4901161e-8)
     return jnp.where(exp == 0, sub, normal)
-
-
-def f32_to_e5m12s_bits(x: jnp.ndarray) -> jnp.ndarray:
-    """signed variant: sign bit at position 17 (18 value bits total)."""
-    xb = lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
-    sign = (xb >> np.uint32(14)) & np.uint32(0x20000)
-    return sign | f32_to_e5m12_bits(x)
-
-
-def f32_to_e5m12s_bits_rtz(x: jnp.ndarray) -> jnp.ndarray:
-    """signed + round-toward-zero: |decode| <= |x| always (PSD clamp)."""
-    xb = lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
-    sign = (xb >> np.uint32(14)) & np.uint32(0x20000)
-    return sign | f32_to_e5m12_bits(x, rtz=True)
-
-
-def e5m12s_bits_to_f32(bits: jnp.ndarray) -> jnp.ndarray:
-    mag = e5m12_bits_to_f32(bits)
-    return jnp.where((bits & np.uint32(0x20000)) != 0, -mag, mag)
 
 
 # 12-bit sqrt-domain opacity code: u = round(4095 * sqrt(op)), op = (u/4095)^2.

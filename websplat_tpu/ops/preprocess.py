@@ -831,13 +831,27 @@ def overflow_emit(
     # overflow cost, measured 2.14 ms of emit at bonsai scale); the window
     # covers the bulk of giant tiles at (window - slots) * g rows, leaving
     # only the extreme tail (57 of 1.24M splats measured) to the grid. ----
-    residual = jnp.int32(0)
     g = int(config.overflow_grid_capacity_for(c))
+    g2 = int(config.overflow_dense_capacity_for(c))
     w_slots = int(config.overflow_window_slots)
-    if g > 0 and w_slots > config.overflow_slots:
-        gmask = n_rect > config.overflow_slots
-        n_giant = jnp.sum(gmask.astype(jnp.int32))
-        residual = residual + jnp.maximum(n_giant - g, 0)
+    window_on = g > 0 and w_slots > config.overflow_slots
+    dense_on = g2 > 0 and w_slots > config.overflow_slots
+
+    # Residual (lost-coverage) accounting, EXACT and unconditional (ADVICE
+    # r4): a captured splat loses tiles iff it is a giant beyond the window
+    # capacity g (the nonzero gather keeps the FIRST g in index order) OR a
+    # mega beyond the dense capacity g2 — counted ONCE even when both hold,
+    # and counted even when a stage is disabled by config (then EVERY
+    # giant/mega of that stage loses its rank >= stage-floor tiles).
+    gmask = n_rect > config.overflow_slots
+    mmask = n_rect > w_slots
+    grank = jnp.cumsum(gmask.astype(jnp.int32)) - 1
+    mrank = jnp.cumsum(mmask.astype(jnp.int32)) - 1
+    lost_w = (gmask & (grank >= g)) if window_on else gmask
+    lost_d = (mmask & (mrank >= g2)) if dense_on else mmask
+    residual = jnp.sum((lost_w | lost_d).astype(jnp.int32))
+
+    if window_on:
         (gids,) = jnp.nonzero(gmask, size=g, fill_value=c)
         gvalid = gids < c
         gi = jnp.where(gvalid, gids, 0)
@@ -871,11 +885,7 @@ def overflow_emit(
         )
 
     # ---- DENSE grid stage: the extreme tail (n_rect > window_slots) ----
-    g2 = int(config.overflow_dense_capacity_for(c))
-    if g2 > 0 and w_slots > config.overflow_slots:
-        mmask = n_rect > w_slots
-        n_mega = jnp.sum(mmask.astype(jnp.int32))
-        residual = residual + jnp.maximum(n_mega - g2, 0)
+    if dense_on:
         (mids,) = jnp.nonzero(mmask, size=g2, fill_value=c)
         mvalid = mids < c
         mi = jnp.where(mvalid, mids, 0)
