@@ -118,6 +118,34 @@ class RasterConfig:
             return 0
         return min(self.overflow_grid_capacity, max(64, capacity_c // 256))
 
+    # In-kernel overflow (ops/overflow_pallas.py, TPU fused path only)
+    # INSTANCE capacities.  The kernel streams are exact-cursor compacted,
+    # so the sort ladder pays only for real instances — but the arrays'
+    # static size still sets the sort's ladder modulus m (rung granularity
+    # = m/16) and the splice-copy bandwidth, so worst-case sizing
+    # (cap_c * 26 = 1.35M rows at bonsai scale) measurably LOSES: it
+    # inflated m to 4.3M and the rung quantization ate the entire emit
+    # saving (TPU, round 5).  Instead: ~4x margin over the measured real
+    # counts (bench camera: 99k walk instances from 26k clamped splats =
+    # 3.8 avg; 9.3k window instances), floored at 65536 so small scenes
+    # keep full worst-case coverage.  Overruns DROP overflow instances
+    # (never main-pass ones) and are counted in num_dropped.
+    overflow_walk_factor: int = 8
+
+    def overflow_walk_capacity_for(self, capacity_c: int) -> int:
+        worst = (self.overflow_slots - self.tile_slots) * capacity_c
+        return min(worst, max(capacity_c * self.overflow_walk_factor, 65536))
+
+    def overflow_window_capacity_for(self, g_cap: int) -> int:
+        worst = (self.overflow_window_slots - self.overflow_slots) * g_cap
+        return min(worst, max(g_cap * 32, 65536))
+
+    # Compacted capacity of the dense extreme-tail stage under the kernel
+    # overflow path (the raw (n_tiles * g2) candidate grid is ~193k rows
+    # for ~1k real instances at bonsai scale; compacting it keeps the
+    # ladder bound tight).  Measured real: 908.
+    overflow_dense_compact: int = 16384
+
     # Instance padding granularity (= the Pallas rasterizer DMA chunk).
     chunk_size: int = 1024
 

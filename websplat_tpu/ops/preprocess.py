@@ -889,39 +889,86 @@ def overflow_emit(
         (mids,) = jnp.nonzero(mmask, size=g2, fill_value=c)
         mvalid = mids < c
         mi = jnp.where(mvalid, mids, 0)
-        tx0m, tx1m = tx0[mi], tx1[mi]
-        ty0m, ty1m = ty0[mi], ty1[mi]
-        wtm = jnp.maximum(w_t[mi], 1)
-        dqm = depth_q[mi]
-        wm = tuple(w[mi] for w in (w0, w1, w2, w3))
-        mreaches = make_reaches(
-            px[mi], py[mi], half_a[mi], conic_b[mi], half_c[mi], a_max[mi],
-            config.tile_w, config.tile_h,
+        mega_words = tuple(
+            jnp.where(mvalid, a[mi], jnp.uint32(fill))
+            for a, fill in zip(
+                (rect, w0, w1, w2, w3, depth_q),
+                (0xFFFFFFFF, 0, 0, 0, 0, 0),
+            )
         )
-        # dense (n_tiles, g2) emission: tile axis FIRST so the captured
-        # per-splat (g2,) arrays broadcast along the trailing axis
-        n_tiles = tx_tiles * ty_tiles
-        tid = jnp.arange(n_tiles, dtype=jnp.int32)[:, None]  # (n_tiles, 1)
-        ttx = tid % tx_tiles
-        tty = tid // tx_tiles
-        in_rect = (
-            (ttx >= tx0m) & (ttx <= tx1m) & (tty >= ty0m) & (tty <= ty1m)
+        gkeys, gwords = dense_grid_emit(
+            mega_words, jnp.sum(mvalid.astype(jnp.int32)),
+            width=width, height=height, config=config,
         )
-        # row-major rank of this tile — ranks < window_slots were emitted
-        # by the main pass + walk + window stages; duplicates double-blend
-        rank = (tty - ty0m) * wtm + (ttx - tx0m)
-        ok = mvalid & in_rect & (rank >= w_slots) & mreaches(ttx, tty)
-        gkeys = jnp.where(
-            ok,
-            ((tty * tx_tiles + ttx).astype(jnp.uint32) << np.uint32(depth_bits))
-            | dqm,
-            invalid,
-        ).reshape(-1)
         keys = jnp.concatenate([keys, gkeys])
         words = tuple(
-            jnp.concatenate(
-                [wk, jnp.broadcast_to(wv, (n_tiles, g2)).reshape(-1)]
-            )
-            for wk, wv in zip(words, wm)
+            jnp.concatenate([wk, gw]) for wk, gw in zip(words, gwords)
         )
     return keys, words, residual
+
+
+def dense_grid_emit(
+    mega_words,
+    n_mega,
+    *,
+    width: int,
+    height: int,
+    config: RasterConfig,
+):
+    """DENSE overflow stage standalone: every rect tile of row-major rank
+    >= overflow_window_slots for each valid mega row (prefix rows of the
+    6-word stream; sentinel rect4 tails self-mask via n_rect == 1).
+
+    Consumed two ways: overflow_emit's extreme-tail stage (gathered megas)
+    and the kernel overflow path (ops/overflow_pallas.py level-2 forwards
+    its prefix-compacted mega stream here).  Returns a flat
+    (n_tiles * G2,) holey candidate stream + matching words."""
+    invalid = jnp.uint32(0xFFFFFFFF)
+    rect, w0, w1, w2, w3, depth_q = mega_words
+    g2 = rect.shape[0]
+    tx_tiles, ty_tiles = config.tiles_for(width, height)
+    _, depth_bits = config.key_bits(width, height)
+    w_slots = int(config.overflow_window_slots)
+
+    tx0m, ty0m, tx1m, ty1m = unpack_rect4(rect)
+    wtm = jnp.maximum(tx1m - tx0m + 1, 1)
+
+    cq = packing.CenterQuant.for_viewport(width, height)
+    px, py, half_a, conic_b, half_c, opacity, _, _, _ = packing.unpack_record(
+        w0, w1, w2, w3, cq
+    )
+    thr = float(config.alpha_threshold)
+    if thr > 0.0:
+        a_max = jnp.minimum(
+            2.0 * CUTOFF,
+            jnp.log(jnp.maximum(opacity, 1e-30) * (1.0 / thr)),
+        )
+    else:
+        a_max = jnp.full_like(opacity, 2.0 * CUTOFF)
+    mreaches = make_reaches(
+        px, py, half_a, conic_b, half_c, a_max, config.tile_w, config.tile_h
+    )
+    mvalid = jnp.arange(g2, dtype=jnp.int32) < n_mega
+
+    # dense (n_tiles, g2) emission: tile axis FIRST so the per-splat (g2,)
+    # arrays broadcast along the trailing axis
+    n_tiles = tx_tiles * ty_tiles
+    tid = jnp.arange(n_tiles, dtype=jnp.int32)[:, None]  # (n_tiles, 1)
+    ttx = tid % tx_tiles
+    tty = tid // tx_tiles
+    in_rect = (ttx >= tx0m) & (ttx <= tx1m) & (tty >= ty0m) & (tty <= ty1m)
+    # row-major rank of this tile — ranks < window_slots were emitted by
+    # the main pass + walk + window stages; duplicates double-blend
+    rank = (tty - ty0m) * wtm + (ttx - tx0m)
+    ok = mvalid & in_rect & (rank >= w_slots) & mreaches(ttx, tty)
+    gkeys = jnp.where(
+        ok,
+        ((tty * tx_tiles + ttx).astype(jnp.uint32) << np.uint32(depth_bits))
+        | depth_q,
+        invalid,
+    ).reshape(-1)
+    gwords = tuple(
+        jnp.broadcast_to(wv, (n_tiles, g2)).reshape(-1)
+        for wv in (w0, w1, w2, w3)
+    )
+    return gkeys, gwords

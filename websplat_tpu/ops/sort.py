@@ -101,10 +101,13 @@ def _ladder_sort(ops, n_valid):
     m = int(ops[0].shape[0])
     if n_valid is None or m < (1 << 17):
         return lax.sort(ops, num_keys=1, is_stable=False)
-    # eighth-rungs: sixteenths were measured (TPU, bonsai bench) a wash
-    # (50.71 vs 50.8 FPS) for ~2x the sort-branch compile footprint, so the
-    # coarser ladder stays
-    rungs = sorted({max(1, (m * k) // 8) for k in range(1, 8)} | {m})
+    # sixteenth-rungs since round 5: the round-3 eighth/sixteenth wash
+    # (50.71 vs 50.8 FPS) was measured when n_valid carried ~400k of
+    # compactor/capacity slack, so finer rungs couldn't shorten the sorted
+    # prefix; the in-kernel overflow walk's exact-cursor counts removed
+    # that slack and the expected rung-quantization overhead (m/K/2 dead
+    # rows, ~0.25 ms at bonsai scale for K=16) now converts to real time
+    rungs = sorted({max(1, (m * k) // 16) for k in range(1, 16)} | {m})
 
     def branch(length):
         def f(ops):

@@ -365,7 +365,52 @@ def build_instance_stream(
         capacity = max(4096, int(config.instance_capacity_factor * n))
         overflow = config.overflow_enabled
         cs = config.chunk_size
-        if overflow:
+        # In-kernel overflow walk (ops/overflow_pallas.py): TPU only — the
+        # 26/128-rank unrolled kernels would blow up the interpret-mode XLA
+        # CPU compile (frontend_pallas caps interpret unrolls at 8 slots for
+        # the same reason); off-TPU the XLA overflow_emit path below covers
+        # the same semantics.
+        use_walk = jax.default_backend() == "tpu" and pallas_ok
+        window_on = (
+            config.overflow_grid_capacity > 0
+            and config.overflow_window_slots > config.overflow_slots
+        )
+        if overflow and use_walk:
+            from websplat_tpu.ops.frontend_pallas import (
+                ALIGN as _ALIGN,
+                STAGE as _STAGE,
+            )
+
+            from websplat_tpu.ops.compact_pallas import BLOCK as _CBLK
+
+            cap_c = config.overflow_capacity_for(n)
+            # measured-margin capacities (config.py rationale): worst-case
+            # sizing inflates the sort-ladder modulus and measurably loses;
+            # overruns drop OVERFLOW instances only, counted in num_dropped
+            walk_cap = config.overflow_walk_capacity_for(cap_c)
+            walk_pad = -(-walk_cap // _ALIGN) * _ALIGN + _STAGE
+            g_cap = config.overflow_grid_capacity_for(cap_c) if window_on else 0
+            m_cap = config.overflow_dense_capacity_for(cap_c) if window_on else 0
+            win_cap = config.overflow_window_capacity_for(g_cap)
+            win_pad = (
+                (-(-win_cap // _ALIGN) * _ALIGN + _STAGE) if window_on else 0
+            )
+            dense_len = tx_tiles * ty_tiles * m_cap
+            # the dense candidate grid is compacted before splicing when it
+            # is large (mirrors the XLA path's o_compact decision)
+            d_compact = dense_len > 2 * config.overflow_dense_compact
+            if d_compact:
+                dcap = config.overflow_dense_compact
+                dense_b = -(-dcap // _CBLK) * _CBLK + _CBLK
+            else:
+                dense_b = dense_len
+            ext_needed = max(
+                walk_pad,
+                walk_cap + win_pad,
+                walk_cap + win_cap + dense_b + _STAGE,
+            )
+            ext = (-(-ext_needed // cs) + 1) * cs
+        elif overflow:
             # static size of the overflow candidate stream (mirrors
             # overflow_emit + the compaction decision below) so the frontend
             # can allocate splice headroom in its own outputs — the splice
@@ -373,10 +418,7 @@ def build_instance_stream(
             # concatenate copy of all five full-capacity words
             cap_c = config.overflow_capacity_for(n)
             o_raw = (config.overflow_slots - config.tile_slots) * cap_c
-            if (
-                config.overflow_grid_capacity > 0
-                and config.overflow_window_slots > config.overflow_slots
-            ):
+            if window_on:
                 # giant WINDOW walk + extreme-tail dense grid
                 # (overflow_emit's three-stage structure)
                 o_raw += (
@@ -405,6 +447,7 @@ def build_instance_stream(
             else:
                 b = o_raw
             ext = (-(-b // cs) + 1) * cs
+        if overflow:
             (keys, payload, num_visible, num_clamped, num_valid, num_dropped,
              cid_words, _n_cid) = fused_frontend(
                 cloud, camera, settings, width=width, height=height,
@@ -421,7 +464,92 @@ def build_instance_stream(
         # exact-cursor stream: valid instances are a tight prefix, so the
         # sort can run on a runtime-selected prefix rung (ops/sort.py)
         n_valid = jnp.minimum(num_valid, capacity)
-        if overflow:
+        if overflow and use_walk:
+            # In-kernel overflow (round 5): level-1 walks ranks
+            # [tile_slots, overflow_slots) over the cid stream and forwards
+            # giants; level-2 walks [overflow_slots, window_slots) over the
+            # giants and forwards megas; the XLA dense grid covers the
+            # extreme tail.  Replaces the XLA walk/window emission + its
+            # Pallas compaction (measured 1.36 + 0.46 ms at bonsai scale;
+            # the kernels run at ~0.2 ms) and splices EXACT-prefix streams,
+            # so the sort-ladder bound carries no per-block sentinel slack.
+            from websplat_tpu.ops.overflow_pallas import overflow_walk
+            from websplat_tpu.ops.preprocess import dense_grid_emit
+
+            wkeys, wwords, w_tot, giants, g_tot = overflow_walk(
+                cid_words, _n_cid,
+                rank_lo=config.tile_slots, rank_hi=config.overflow_slots,
+                giant_thresh=config.overflow_slots,
+                capacity=walk_cap, giant_capacity=g_cap,
+                width=width, height=height, config=config,
+            )
+            keys = lax.dynamic_update_slice(keys, wkeys, (n_valid,))
+            payload = tuple(
+                lax.dynamic_update_slice(w, ow, (n_valid,))
+                for w, ow in zip(payload, wwords)
+            )
+            n_valid = n_valid + jnp.minimum(w_tot, walk_cap)
+            num_dropped = num_dropped + jnp.maximum(w_tot - walk_cap, 0)
+            resid = jnp.int32(0)
+            if window_on:
+                wkeys2, wwords2, w_tot2, megas, m_tot = overflow_walk(
+                    giants, jnp.minimum(g_tot, g_cap),
+                    rank_lo=config.overflow_slots,
+                    rank_hi=config.overflow_window_slots,
+                    giant_thresh=config.overflow_window_slots,
+                    capacity=win_cap, giant_capacity=m_cap,
+                    width=width, height=height, config=config,
+                )
+                keys = lax.dynamic_update_slice(keys, wkeys2, (n_valid,))
+                payload = tuple(
+                    lax.dynamic_update_slice(w, ow, (n_valid,))
+                    for w, ow in zip(payload, wwords2)
+                )
+                n_valid = n_valid + jnp.minimum(w_tot2, win_cap)
+                num_dropped = num_dropped + jnp.maximum(w_tot2 - win_cap, 0)
+                dkeys, dwords = dense_grid_emit(
+                    megas, jnp.minimum(m_tot, m_cap),
+                    width=width, height=height, config=config,
+                )
+                if d_compact:
+                    from websplat_tpu.ops.compact_pallas import (
+                        compact_instances as _ci,
+                    )
+
+                    d_src_blocks = -(-dense_len // _CBLK)
+                    dkeys, dwords, d_count, d_dropped = _ci(
+                        dkeys, dwords, capacity=dcap
+                    )
+                    num_dropped = num_dropped + d_dropped
+                keys = lax.dynamic_update_slice(keys, dkeys, (n_valid,))
+                payload = tuple(
+                    lax.dynamic_update_slice(w, ow, (n_valid,))
+                    for w, ow in zip(payload, dwords)
+                )
+                if d_compact:
+                    # compactor output is NOT an exact prefix (<=127
+                    # sentinels interleave per source block)
+                    n_valid = n_valid + jnp.minimum(
+                        d_count + 127 * d_src_blocks, dense_b
+                    )
+                else:
+                    # holey candidate block counts whole against the ladder
+                    # (sentinels inside the prefix sort to the rung's end)
+                    n_valid = n_valid + dense_len
+                # lost coverage, counted once per splat (a mega beyond
+                # g_cap never reaches level 2, so the two terms are
+                # disjoint — same semantics as overflow_emit's residual)
+                resid = jnp.maximum(g_tot - g_cap, 0) + jnp.maximum(
+                    m_tot - m_cap, 0
+                )
+            else:
+                # window/dense disabled by config: every giant loses its
+                # rank >= overflow_slots tiles
+                resid = g_tot
+            num_clamped = resid + jnp.maximum(
+                num_clamped - jnp.int32(cap_c), 0
+            )
+        elif overflow:
             # clamped splats' remaining rect tiles, spliced into the stream
             # at the end of the valid prefix (the region there is sentinel
             # tail, so the ladder-prefix contract still holds)
