@@ -453,7 +453,12 @@ def make_handler(state: ViewerState):
                     self._gallery_page()
                     return
             if self.path.startswith("/frame.png"):
-                self._send(200, state.frame_png or b"", "image/png")
+                # 503 until the first frame exists (first jit compile takes
+                # minutes on TPU) — a 0-byte 200 breaks <img> and clients
+                if state.frame_png:
+                    self._send(200, state.frame_png, "image/png")
+                else:
+                    self._send(503, b"first frame not rendered yet")
             elif self.path.startswith("/stats"):
                 diag = state.renderer._last_diag or {}
                 cams = [
@@ -478,7 +483,17 @@ def make_handler(state: ViewerState):
 
         def do_POST(self):
             n = int(self.headers.get("Content-Length", 0))
-            msg = json.loads(self.rfile.read(n) or b"{}")
+            try:
+                self._handle_event(json.loads(self.rfile.read(n) or b"{}"))
+            except Exception as e:  # noqa: BLE001 — malformed events must
+                # answer 400, not kill the connection (found driving the
+                # viewer on TPU: a zoom event without "dy" KeyError'd the
+                # handler thread mid-response)
+                self._send(400, f"bad event: {e!r}".encode())
+                return
+            self._send(200, b"{}", "application/json")
+
+        def _handle_event(self, msg):
             t = msg.get("type")
             ctl = state.controller
             if t == "rotate":
@@ -537,7 +552,6 @@ def make_handler(state: ViewerState):
                 state.save_views()
             elif t == "reload":
                 state.reload()
-            self._send(200, b"{}", "application/json")
 
     return Handler
 
