@@ -102,6 +102,9 @@ def main():
     # half a display quantum of a [0,1] channel under round-to-nearest
     # 8-bit encode, then finer rungs for sensitivity
     THRESHOLDS = (1.0 / 255.0, 1.0 / 510.0, 1.0 / 1020.0, 1.0 / 2550.0, 1e-5)
+    # per-tile early-exit thresholds to census live (unskippable) depth at:
+    # the production transmittance_eps, a tighter one, and exact
+    LIVE_EPS = (float(config.transmittance_eps), 1e-3, 0.0)
 
     def tile_counts(t):
         start = ranges[t]
@@ -122,8 +125,18 @@ def main():
         alpha = jnp.where(valid[:, None], alpha, 0.0)
         weights, _t_final = blend_weights(alpha, axis=0)
         wmax = jnp.max(weights, axis=1)  # (K,) per-instance max contribution
+        # live depth: instances BEFORE the tile saturates (some pixel still
+        # has exclusive transmittance >= eps) — the blend work a
+        # front-to-back compositor with a per-tile early exit cannot skip;
+        # the raster roofline's unavoidable-instance count
+        t_excl = jnp.concatenate(
+            [jnp.ones((1, alpha.shape[1])), jnp.cumprod(1.0 - alpha, axis=0)[:-1]],
+            axis=0,
+        )
+        t_live = jnp.max(t_excl, axis=1)  # (K,) max pixel transmittance
         return jnp.stack(
             [jnp.sum((wmax >= thr) & valid) for thr in THRESHOLDS]
+            + [jnp.sum((t_live >= eps) & valid) for eps in LIVE_EPS]
             + [jnp.sum(valid)]
         )
 
@@ -141,7 +154,7 @@ def main():
             cnt = jax.vmap(tile_counts)(ts)
             return c + jnp.sum(jnp.where(ok[:, None], cnt, 0), axis=0), None
 
-        init = jnp.zeros((len(THRESHOLDS) + 1,), jnp.int32)
+        init = jnp.zeros((len(THRESHOLDS) + len(LIVE_EPS) + 1,), jnp.int32)
         out, _ = jax.lax.scan(step, init, jnp.arange(n_steps))
         return out
 
@@ -160,10 +173,22 @@ def main():
                 "count": int(c),
                 "fraction": round(float(c) / max(total, 1), 4),
             }
-            for thr, c in zip(THRESHOLDS, counts[:-1])
+            for thr, c in zip(THRESHOLDS, counts[: len(THRESHOLDS)])
         },
-        "note": "fraction at >=1/510 (half 8-bit quantum) is the keep set; "
-        "1 - it bounds the removable share of the sort's m",
+        "live_depth": {
+            f"eps={eps:g}": {
+                "count": int(c),
+                "fraction": round(float(c) / max(total, 1), 4),
+            }
+            for eps, c in zip(
+                LIVE_EPS, counts[len(THRESHOLDS) : len(THRESHOLDS) + len(LIVE_EPS)]
+            )
+        },
+        "note": "thresholds: fraction of instances whose max pixel weight "
+        "w=alpha*T reaches the level (>=1/510 = can move a display pixel). "
+        "live_depth: instances reached before their tile saturates at eps "
+        "(max pixel T_excl >= eps) - the blend work a per-tile early-exit "
+        "compositor cannot skip; the raster roofline's unavoidable count.",
     }
     print(json.dumps(result, indent=1))
     out_path = os.environ.get("WS_CENSUS_OUT")

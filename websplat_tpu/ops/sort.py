@@ -30,6 +30,22 @@ against a 60 dB gate for a 4.4% frame saving; key+2 (1.96 ms) would need a
 64-bit record, far below any acceptable precision.  u64 lane packing is NOT
 operand reduction (emulated u32 pairs: 3.80-4.65 ms, no win — CLAUDE.md's
 round-2 result reconfirmed).
+
+Shrinking m itself (VERDICT r4 #7) — MEASURED AND CLOSED
+(scripts/census_contrib.py, CENSUS_r05.json, TPU 2026-08-20): only 9.1%
+of the 1.807M sorted instances contribute >= half an 8-bit display
+quantum (max over the tile's pixels of w_i = alpha_i * T_i; 23% even at
+1e-5), BUT the waste is OCCLUSION (the T_i factor), not alpha: emission
+already culls on the exact ellipse/tile reach at alpha_threshold (an
+instance is only emitted where some pixel can reach alpha >= 1/255), so
+every sorted instance would contribute if unoccluded.  Transmittance is
+only computable AFTER depth ordering — i.e. after the sort — and on TPU
+the sort IS the tile binning (scatter ~50 ms/M forecloses pre-sort
+binning; scripts/bench_sort.py's region-partition dead end).  A post-sort
+cut cannot refund the sort, and the rasterizer's per-tile early exit
+already skips saturated tails for ~free.  Conclusion: m is at its exact
+lower bound for a single-pass design; the 4.5 ms sort is the price of
+correctness, not slack.
 """
 
 from __future__ import annotations
