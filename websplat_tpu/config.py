@@ -194,6 +194,16 @@ class RasterConfig:
     # at full N; reference-exact coverage for any camera).  The reference
     # analogue: preprocess_compressed.wgsl:229-242 culls before touching
     # the codebooks.
+    #
+    # Sizing guidance, MEASURED at 10M splats (TENM_r05.json, TPU): at an
+    # orbit camera seeing 78% of the cloud the cull is a wash (2.83 vs
+    # 2.86 FPS — the predicate + 10M-row compact costs what the 10% cut
+    # saves), but at a walkthrough camera inside the cloud (12% visible,
+    # factor = 1.15 * visible_fraction = 0.14) it is a 4.6x win: 3.38 ->
+    # 15.49 FPS.  Recipe: measure the worst-case visible fraction over
+    # the camera path (one frustum_visible readback per candidate view),
+    # set factor = 1.15 * max_fraction, and keep 0 for orbit/turntable
+    # viewing where most of the cloud stays in frustum.
     compressed_cull_factor: float = 0.0
 
     # Early-termination threshold on transmittance.  The reference blends
